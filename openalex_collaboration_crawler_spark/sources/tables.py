@@ -1,0 +1,65 @@
+"""Loaders for the driver-generated parquet test tables (TESTDATA.md).
+
+At cluster scale these would be Iceberg catalog tables; locally they
+are single parquet files. The loader keeps reads lazy so Catalyst
+can push filters/projections into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def collab_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (work_id, author, year) authorship table derived
+    from the TPC-H-ish tables, used to exercise the reference's
+    edge-generation semantics against the DuckDB oracle.
+
+    work = order, authors = distinct suppliers on its lineitems,
+    year = year(o_orderdate). Mirrors the OpenAlex works→authorships
+    flattening (reference graph.cpp:464-485).
+    """
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("year")
+    )
+    return (
+        li.distinct()
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("work_id"),
+            F.col("l_suppkey").alias("author"),
+            "year",
+        )
+    )
+
+
+COLLAB_MODEL_SQL = """
+SELECT DISTINCT l.l_orderkey AS work_id,
+       l.l_suppkey AS author,
+       year(o.o_orderdate) AS year
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
