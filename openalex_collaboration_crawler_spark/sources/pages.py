@@ -1,0 +1,182 @@
+"""Deterministic synthetic Common-Crawl-style page table (FIXTURES.md F1).
+
+Generates the north-rule input shape
+``(url string, warc_ts timestamp, html binary, text string, lang string)``
+entirely inside Spark — ``spark.range`` + column expressions for all
+scalar fields, one ``mapInPandas`` (Arrow-batched zlib) for the gzip
+``html`` payload. No external data; seed-stable across runs and
+parallelism levels.
+
+The payload carried inside ``html`` is an OpenAlex-style JSON work
+record plus an outlink list, so the crawl loop exercises the
+reference's decode→parse→extract path end-to-end
+(reference decompress.cpp:39-52 gzip decode; openalex_json.cpp work
+parsing). The ``text`` column holds the expected extracted text —
+the byte-identical-per-url golden (BASELINE.json input_hint).
+
+Scale/skew design (FIXTURES.md F1): host 0 owns ~30% of pages (hot
+host); a small fraction of rows are duplicate URLs with messy
+variants (default port, unsorted query, fragment) so canonicalized
+dedup is observable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HOSTS = 20
+LINKS_PER_PAGE = 4
+LANGS = ("en", "de", "fr", "it", "es")
+
+
+def _host_id_expr(i):
+    # ~30% of pages on host 0, rest spread over hosts 1..N_HOSTS-1
+    return F.when(i % 10 < 3, F.lit(0)).otherwise((i % (N_HOSTS - 1)) + 1)
+
+
+def page_url(i) -> "F.Column":
+    """Canonical URL of page i (deterministic)."""
+    host = _host_id_expr(i)
+    return F.concat(
+        F.lit("http://host"),
+        host.cast("string"),
+        F.lit(".example.org/page/"),
+        i.cast("string"),
+    )
+
+
+def _messy_url(i) -> "F.Column":
+    """Messy variant that canonicalizes to page_url(i)."""
+    host = _host_id_expr(i)
+    return F.concat(
+        F.lit("HTTP://Host"),
+        host.cast("string"),
+        F.lit(".Example.ORG:80/page/"),
+        i.cast("string"),
+        F.lit("/#frag"),
+    )
+
+
+def _link_targets(i, n_pages: int) -> list["F.Column"]:
+    """Deterministic outlink page ids: fixed affine maps mod n."""
+    muls = [(7, 1), (13, 5), (3, 11), (17, 2)][:LINKS_PER_PAGE]
+    return [(i * a + b) % n_pages for a, b in muls]
+
+
+def page_text(i) -> "F.Column":
+    """The golden extracted text for page i — pure column math so the
+    expected bytes are reproducible anywhere (including the pytest
+    oracle) without running the crawl."""
+    return F.concat(
+        F.lit("Work W"),
+        i.cast("string"),
+        F.lit(": collaboration study #"),
+        ((i * 2654435761) % 1000000).cast("string"),
+        F.lit(" of host "),
+        _host_id_expr(i).cast("string"),
+        F.lit("."),
+    )
+
+
+def build_pages(spark: SparkSession, n_pages: int = 2000, dup_frac_mod: int = 11) -> DataFrame:
+    """The synthetic web: one row per page + messy-duplicate rows for
+    every ``dup_frac_mod``-th page. html is the gzip payload; text is
+    the extraction golden."""
+    base = spark.range(n_pages).withColumnRenamed("id", "i")
+    i = F.col("i")
+    links = F.array(
+        *[
+            page_url(t)
+            for t in _link_targets(i, n_pages)
+        ]
+    )
+    canon = base.select(
+        i,
+        page_url(i).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + i * 7 + _host_id_expr(i)).alias("warc_ts"),
+        page_text(i).alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]), (i % len(LANGS) + 1).cast("int")).alias(
+            "lang"
+        ),
+        links.alias("links"),
+    )
+    messy = (
+        base.where(i % dup_frac_mod == 3)
+        .select(
+            i,
+            _messy_url(i).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + i * 7 + 999).alias("warc_ts"),
+            page_text(i).alias("text"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in LANGS]), (i % len(LANGS) + 1).cast("int")
+            ).alias("lang"),
+            links.alias("links"),
+        )
+    )
+    both = canon.unionByName(messy)
+
+    schema = (
+        "i bigint, url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def gzip_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i_val, text, links in zip(pdf["i"], pdf["text"], pdf["links"]):
+                body = json.dumps(
+                    {
+                        "id": f"https://openalex.org/W{int(i_val)}",
+                        "text": text,
+                        "links": list(links),
+                        "publication_year": 1990 + int(i_val) % 30,
+                    },
+                    sort_keys=True,
+                    separators=(",", ":"),
+                )
+                # gzip with fixed mtime+level → byte-deterministic
+                payloads.append(gzip.compress(body.encode("utf-8"), compresslevel=6, mtime=0))
+            out = pdf[["i", "url", "warc_ts", "text", "lang"]].copy()
+            out["html"] = payloads
+            yield out[["i", "url", "warc_ts", "html", "text", "lang"]]
+
+    return both.mapInPandas(gzip_payload, schema=schema).drop("i")
+
+
+def build_seeds(spark: SparkSession, n_pages: int = 2000, n_seeds: int = 8) -> DataFrame:
+    """Seed list: the first pages of a few hosts, priority = seed rank."""
+    base = spark.range(n_seeds).withColumnRenamed("id", "k")
+    k = F.col("k")
+    return base.select(
+        page_url(k * 97 % n_pages).alias("url"),
+        (F.lit(100) - k).cast("int").alias("priority"),
+    )
+
+
+def build_politeness(spark: SparkSession, default_per_batch: int = 8, hot_per_batch: int = 4) -> DataFrame:
+    """Per-host max fetches per micro-batch (token budget). The hot
+    host gets a tighter budget — politeness throttles exactly where
+    skew lives."""
+    hosts = spark.range(N_HOSTS).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.org")).alias("host"),
+        F.when(F.col("id") == 0, F.lit(hot_per_batch))
+        .otherwise(F.lit(default_per_batch))
+        .cast("int")
+        .alias("max_per_batch"),
+    )
+    return hosts
+
+
+def build_robots(spark: SparkSession) -> DataFrame:
+    """robots.txt cache: host → disallowed path prefixes. host1 blocks
+    /page/1 prefixes (a visible bite out of the crawl)."""
+    rows = [
+        ("host1.example.org", ["/page/1"]),
+        ("host2.example.org", ["/private"]),
+    ]
+    return spark.createDataFrame(rows, "host string, disallow array<string>")

@@ -1,0 +1,77 @@
+"""Per-host politeness scheduler + robots.txt filter.
+
+The reference's politeness is implicit — one .gz file per worker at a
+time (generation/src/authors.cpp:93-123). For a real crawl the
+engine makes it explicit:
+
+- **Token budget**: each host gets ``max_per_batch`` fetch slots per
+  micro-batch (a micro-batch is the time quantum, so slots/batch ==
+  a rate limit). Selection inside a host is deterministic:
+  ``row_number`` over (depth asc, priority desc, url_hash asc) —
+  crawl ordering is a pure function of the data, never of task
+  scheduling (north rule "matching crawl ordering").
+- **Robots**: a (host, disallow-prefix-array) table, broadcast to the
+  candidate join (robots caches are tiny relative to the frontier);
+  a URL is blocked when any prefix matches its path.
+
+Scale notes: the window partitions by host — exactly the skew axis.
+A hot host holding 30% of the frontier lands in one partition, but
+the window only needs a per-host top-``max_per_batch``; AQE's skew
+split plus the tight per-host cap keeps the sorted set tiny. The
+global batch cap is applied with one more deterministic sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def frontier_order() -> list:
+    """The deterministic crawl order: depth asc, priority desc,
+    url_hash asc (built lazily — Column exprs need a live session)."""
+    return [F.asc("depth"), F.desc("priority"), F.asc("url_hash")]
+
+
+def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose URL path starts with a disallowed prefix
+    for its host. ``candidates`` must carry (url, host)."""
+    path = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    with_path = candidates.withColumn("__path", F.when(path == "", "/").otherwise(path))
+    joined = with_path.join(F.broadcast(robots), "host", "left")
+    blocked = F.when(
+        F.col("disallow").isNotNull(),
+        F.exists("disallow", lambda d: F.col("__path").startswith(d)),
+    ).otherwise(F.lit(False))
+    return joined.where(~blocked).drop("__path", "disallow")
+
+
+def select_batch(
+    pending: DataFrame,
+    politeness: DataFrame,
+    robots: DataFrame | None = None,
+    batch_cap: int = 1 << 30,
+    default_per_host: int = 8,
+) -> DataFrame:
+    """Pick this micro-batch's fetch set, deterministically.
+
+    pending: (url, url_hash, host, depth, priority, ...).
+    politeness: (host, max_per_batch). Hosts absent from the table get
+    ``default_per_host``. Output adds ``seq`` — the batch-local crawl
+    order (0-based), the parity contract with the sequential oracle.
+    """
+    cand = pending if robots is None else robots_filter(pending, robots)
+    cand = cand.join(F.broadcast(politeness), "host", "left").withColumn(
+        "__cap", F.coalesce(F.col("max_per_batch"), F.lit(default_per_host))
+    )
+    w_host = Window.partitionBy("host").orderBy(*frontier_order())
+    per_host = (
+        cand.withColumn("__rn", F.row_number().over(w_host))
+        .where(F.col("__rn") <= F.col("__cap"))
+        .drop("__rn", "__cap", "max_per_batch")
+    )
+    w_all = Window.orderBy(*frontier_order())
+    return (
+        per_host.withColumn("seq", F.row_number().over(w_all) - 1)
+        .where(F.col("seq") < batch_cap)
+    )

@@ -1,0 +1,148 @@
+"""Crawl-parity tests (north rule / FIXTURES.md F7).
+
+Same seed list + politeness budget: the Spark CrawlEngine must
+reproduce the sequential Python oracle's crawl ORDER, final SEEN
+set, per-batch metrics, and byte-identical extracted text per url.
+Also: kill-after-batch-k resume ≡ uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from openalex_collaboration_crawler_spark.sources.pages import (
+    build_pages,
+    build_politeness,
+    build_robots,
+    build_seeds,
+)
+from openalex_collaboration_crawler_spark.streaming.frontier import CrawlEngine
+from tests.oracle.crawler_oracle import OracleCrawler
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl")
+    pages_path = str(root / "pages")
+    build_pages(spark, n_pages=N_PAGES).write.mode("overwrite").parquet(pages_path)
+    politeness = build_politeness(spark, default_per_batch=6, hot_per_batch=3)
+    robots = build_robots(spark)
+    seeds = build_seeds(spark, n_pages=N_PAGES, n_seeds=5)
+    return {
+        "root": root,
+        "pages_path": pages_path,
+        "politeness": politeness,
+        "robots": robots,
+        "seeds": seeds,
+    }
+
+
+def _mk_engine(spark, world, name: str, **kw) -> CrawlEngine:
+    return CrawlEngine(
+        spark=spark,
+        state_dir=str(world["root"] / name),
+        pages_path=world["pages_path"],
+        politeness=world["politeness"],
+        robots=world["robots"],
+        default_per_host=6,
+        bloom_parts=4,
+        **kw,
+    )
+
+
+def _mk_oracle(spark, world) -> OracleCrawler:
+    page_rows = [r.asDict() for r in spark.read.parquet(world["pages_path"]).collect()]
+    politeness_rows = [r.asDict() for r in world["politeness"].collect()]
+    robots_rows = [r.asDict() for r in world["robots"].collect()]
+    orc = OracleCrawler.from_rows(
+        page_rows, politeness_rows, robots_rows, default_per_host=6
+    )
+    orc.seed([(r["url"], r["priority"]) for r in world["seeds"].collect()])
+    return orc
+
+
+@pytest.fixture(scope="module")
+def oracle_run(spark, world):
+    orc = _mk_oracle(spark, world)
+    orc.run(max_batches=50)
+    return orc
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, world):
+    eng = _mk_engine(spark, world, "engine_full")
+    eng.init_from_seeds(world["seeds"])
+    metrics = eng.run(max_batches=50)
+    return eng, metrics
+
+
+def test_crawl_order_parity(engine_run, oracle_run):
+    eng, _ = engine_run
+    assert eng.crawl_order() == oracle_run.order
+
+
+def test_seen_set_parity(engine_run, oracle_run):
+    eng, _ = engine_run
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_metrics_parity(engine_run, oracle_run):
+    _, metrics = engine_run
+    got = [
+        {k: m[k] for k in ("fetched", "parsed_ok", "text_match", "discovered", "new_urls", "deduped")}
+        for m in metrics
+        if m.get("fetched", 0) > 0
+    ]
+    want = [
+        {k: m[k] for k in ("fetched", "parsed_ok", "text_match", "discovered", "new_urls", "deduped")}
+        for m in oracle_run.metrics
+    ]
+    assert got == want
+
+
+def test_text_byte_identity(engine_run, spark, world):
+    """input_hint invariant: extracted text byte-identical per url."""
+    eng, metrics = engine_run
+    res = eng.results()
+    n = res.count()
+    n_match = res.where("text_match").count()
+    n_found = res.where("parse_ok").count()
+    assert n_found == n_match  # every parsed page matched its golden bytes
+    assert n > 0
+
+
+def test_resume_equals_uninterrupted(spark, world, engine_run, oracle_run):
+    """Kill after 2 batches; a fresh engine object resumes from the
+    commit log and finishes identically (idempotent MERGE semantics)."""
+    eng1 = _mk_engine(spark, world, "engine_resume")
+    eng1.init_from_seeds(world["seeds"])
+    for _ in range(2):
+        eng1.run_batch()
+    # simulate crash: drop the object, start over from disk
+    eng2 = _mk_engine(spark, world, "engine_resume")
+    assert eng2.last_version() == 2
+    eng2.run(max_batches=50)
+    assert eng2.crawl_order() == oracle_run.order
+    assert eng2.seen_hashes() == oracle_run.seen
+
+
+def test_bloom_off_same_result(spark, world, oracle_run):
+    """The Bloom prefilter is a pure optimization — disabling it must
+    not change any observable output."""
+    eng = _mk_engine(spark, world, "engine_nobloom", use_bloom=False)
+    eng.init_from_seeds(world["seeds"])
+    eng.run(max_batches=50)
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_robots_blocked_never_fetched(engine_run, spark):
+    eng, _ = engine_run
+    fetched_urls = [r["url"] for r in eng.results().select("url").collect()]
+    assert all(not u.startswith("http://host1.example.org/page/1") for u in fetched_urls)
+    # host1's other pages (not /page/1*) are still crawlable
+    assert any(u.startswith("http://host1.example.org/") for u in fetched_urls)
