@@ -40,6 +40,41 @@ def portable_hash64_sql(expr: str, salt: str = "") -> str:
     return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+_PERM_P = (1 << 31) - 1  # Mersenne prime
+_MASK30 = (1 << 30) - 1
+
+
+def _perm_consts(p: int) -> tuple[int, int, int]:
+    """Deterministic affine constants for permutation family p (LCG)."""
+    state = (p * 2654435761 + 0x9E3779B9) & 0x7FFFFFFF
+    out = []
+    for _ in range(3):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        out.append(state & _MASK30 or 1)
+    return out[0], out[1], out[2]
+
+
+def perm_hash(base: Column, p: int) -> Column:
+    """Cheap universal-hash permutation of a 60-bit base hash.
+
+    ``(A*(base>>30) + B*(base&mask) + C) mod (2^31-1)`` — every product
+    stays under 2^60, so the arithmetic is overflow-free in any int64
+    engine and the DuckDB mirror (:func:`perm_hash_sql`) is exact.
+    Used to derive MinHash permutation families from ONE md5 per
+    shingle instead of one md5 per (shingle × permutation)."""
+    a, b, c = _perm_consts(p)
+    hi = F.shiftright(base, 30)
+    lo = base.bitwiseAND(F.lit(_MASK30))
+    return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(_PERM_P)
+
+
+def perm_hash_sql(base_expr: str, p: int) -> str:
+    a, b, c = _perm_consts(p)
+    return (
+        f"(({a} * ({base_expr} >> 30) + {b} * ({base_expr} & {_MASK30}) + {c}) % {_PERM_P})"
+    )
+
+
 def fast_hash64(col: Column | str, seed: int = 42) -> Column:
     """Engine-internal hash (xxhash64): cheapest JVM-side 64-bit hash.
 

@@ -125,34 +125,41 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     """Argmax marker-word language, ties broken by language code asc;
-    below ``min_hits`` → 'und'."""
+    below ``min_hits`` → 'und'.
+
+    Flat encoding (score*8 + rank) + one ``greatest`` — a nested
+    when-chain would duplicate the score subtrees exponentially and
+    blow up codegen compile time."""
     scores = lang_scores(col)
-    langs = sorted(scores)  # asc order = deterministic tie-break
-    best = F.lit("und")
-    best_score = F.lit(min_hits - 1).cast("long")
-    # iterate desc so that asc-order winner is applied last on ties
-    for lang in reversed(langs):
-        s = scores[lang]
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    langs = sorted(scores)  # asc; earlier language wins ties
+    # rank: alphabetically-first language gets the HIGHEST rank so that
+    # greatest() breaks score ties toward it
+    encs = [
+        scores[lang] * F.lit(8) + F.lit(len(langs) - 1 - i) for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*encs)
+    idx = (best % 8).cast("int")  # rank of the winner
+    by_rank = list(reversed(langs))  # rank r → by_rank[r]
+    lang = F.element_at(F.array(*[F.lit(x) for x in by_rank]), idx + 1)
+    return F.when(F.floor(best / F.lit(8)) >= min_hits, lang).otherwise(F.lit("und"))
 
 
 def lang_id_sql(expr: str, min_hits: int = 1) -> str:
     w = words_sql(expr)
-    parts = []
-    for lang in sorted(LANG_MARKERS):
+    langs = sorted(LANG_MARKERS)
+    encs = []
+    for i, lang in enumerate(langs):
         markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
-        parts.append(
-            (lang, f"CAST(len(list_filter({w}, x -> list_contains({markers}, x))) AS BIGINT)")
-        )
-    # same sequential argmax as the Spark side: asc langs, strict >
-    acc_lang, acc_score = "'und'", f"CAST({min_hits - 1} AS BIGINT)"
-    for lang, s in reversed(parts):
-        acc_lang = f"(CASE WHEN {s} > {acc_score} THEN '{lang}' ELSE {acc_lang} END)"
-        acc_score = f"(CASE WHEN {s} > {acc_score} THEN {s} ELSE {acc_score} END)"
-    return acc_lang
+        s = f"CAST(len(list_filter({w}, x -> list_contains({markers}, x))) AS BIGINT)"
+        encs.append(f"({s} * 8 + {len(langs) - 1 - i})")
+    best = "greatest(" + ", ".join(encs) + ")"
+    by_rank = list(reversed(langs))
+    whens = " ".join(f"WHEN {r} THEN '{lang}'" for r, lang in enumerate(by_rank))
+    idx = f"CAST({best} % 8 AS INT)"
+    return (
+        f"(CASE WHEN CAST(floor({best} / 8) AS BIGINT) >= {min_hits} "
+        f"THEN (CASE {idx} {whens} END) ELSE 'und' END)"
+    )
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openalex_collaboration_crawler_spark.functions.hashing import (
+    perm_hash,
+    perm_hash_sql,
     portable_hash64,
     portable_hash64_sql,
 )
@@ -160,26 +162,32 @@ ROWS_PER_BAND = N_PERMS // N_BANDS
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, mh_0..mh_{P-1}): min portable-hash per salted permutation.
+    """(id, mh_0..mh_{P-1}): min permuted-hash per permutation family.
 
-    One explode + one groupBy(id); partial aggregation collapses the
-    exploded shingles before the shuffle, so wire volume is
-    |docs| × P longs regardless of document length.
+    ONE md5 per shingle; the P permutations are overflow-free affine
+    maps of that base hash (functions/hashing.perm_hash) — ~P× less
+    hashing than salted-md5-per-perm. One explode + one groupBy(id);
+    partial aggregation collapses the exploded shingles before the
+    shuffle, so wire volume is |docs| × P longs regardless of
+    document length.
     """
-    sh = doc_shingles(docs, text_col, id_col, n)
-    aggs = [
-        F.min(portable_hash64(F.col("shingle"), salt=f"perm{p}")).alias(f"mh_{p}")
-        for p in range(N_PERMS)
-    ]
+    sh = doc_shingles(docs, text_col, id_col, n).withColumn(
+        "base", portable_hash64(F.col("shingle"))
+    )
+    aggs = [F.min(perm_hash(F.col("base"), p)).alias(f"mh_{p}") for p in range(N_PERMS)]
     return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_signatures_sql(table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> str:
     sh = doc_shingles_sql(table, text_col, id_col, n)
+    base = portable_hash64_sql("shingle")
     aggs = ",\n  ".join(
-        f"min({portable_hash64_sql('shingle', salt=f'perm{p}')}) AS mh_{p}" for p in range(N_PERMS)
+        f"min({perm_hash_sql('base', p)}) AS mh_{p}" for p in range(N_PERMS)
     )
-    return f"WITH sh AS ({sh})\nSELECT id, {aggs} FROM sh GROUP BY id"
+    return (
+        f"WITH sh0 AS ({sh}), sh AS (SELECT id, {base} AS base FROM sh0)\n"
+        f"SELECT id, {aggs} FROM sh GROUP BY id"
+    )
 
 
 def minhash_band_buckets(sigs: DataFrame) -> DataFrame:

@@ -5,14 +5,19 @@ single-machine atomic work-queue over .gz shards
 (generation/src/authors.cpp:93-123, papers.cpp:135-166) re-designed
 as a batch-iterated frontier over tables.
 
-Design (Iceberg-shaped, parquet-backed in this sandbox):
+State layout (Iceberg-shaped, parquet-backed in this sandbox):
 
 state_dir/
-  frontier/v{N}/      (url, url_hash, host, depth, priority, state,
-                       batch_enqueued)        -- the queue
-  seen/v{N}/          (url_hash)              -- every URL ever enqueued
-  results/batch={k}/  (seq, url, url_hash, host, depth, text, lang,
-                       n_links, batch_id)     -- fetched + extracted
+  pending/v{N}/       (url, url_hash, host, depth, priority,
+                       batch_enqueued)  -- the live queue (rewritten
+                       per batch; it SHRINKS as the crawl drains)
+  seen/b{K}/          (url_hash)        -- APPEND-ONLY delta per batch;
+                       the full seen set is the union of deltas, so
+                       per-batch write cost is O(|delta|), not O(seen)
+  bloom/v{N}/         (part, blob)      -- incremental fixed-size Bloom
+                       blobs per hash partition, OR-merged with each
+                       delta (never rebuilt over the full set)
+  results/batch={k}/  (seq, url, ..., text, lang, n_links, batch_id)
   metrics/batch={k}/  per-partition lineage + fetch/dedup/parse counters
   _commits/{N}.json   atomic commit marker (written last)
 
@@ -21,29 +26,27 @@ Each micro-batch:
     deterministically ordered (streaming/politeness.py) → ``seq``.
  2. "fetch": join the batch against the page table on canonical URL
     (the sandbox's network). Duplicate snapshots of a URL resolve by
-    (warc_ts, url) min — deterministic.
+    (warc_ts, html) min — deterministic.
  3. decode+parse: one Arrow-batched ``mapInPandas`` does gzip decode
-    + JSON parse + text/link extraction (reference decompress.cpp:39-52,
-    openalex_json.cpp) — no per-row Python UDFs.
- 4. discover: explode links → canonicalize → hash → exact-dedup
-    against the seen set with a partitioned-Bloom prefilter
-    (streaming/seen.py) and against this batch's own links.
- 5. commit: new frontier version (pending minus fetched, plus new),
-    seen version, results, per-partition metrics; then the commit
-    marker. Resume = read the highest committed version — a killed
-    run replays from the last marker (idempotent: state transitions
-    are pure functions of committed tables).
+    + JSON parse + text/link extraction (reference decompress.cpp:
+    39-52, openalex_json.cpp) — no per-row Python UDFs.
+ 4. discover: explode links → canonicalize → hash → dedup against the
+    seen set: Bloom prefilter kills the already-seen mass; survivors
+    are confirmed with broadcast semi/anti joins that only SCAN the
+    seen union (zero shuffle of the big table).
+ 5. commit: pending v+1, seen delta, bloom v+1, results, per-partition
+    metrics; then the commit marker. Resume = read the highest
+    committed version — a killed run replays from the last marker.
 
 Crawl ordering is a pure function of the committed data
 (depth, -priority, url_hash), so any cluster size produces the same
 order — the parity contract checked against the sequential oracle in
 tests/test_crawl_parity.py.
 
-At 10^10 URLs: frontier/seen are hash-partitioned Iceberg tables;
-the per-batch join against pages is a shuffle on canonical_url;
-bloom blobs keep the dedup anti-join to survivors only; hot hosts
-are capped by politeness *before* any heavy work, and the explode of
-links is salted by ``pmod(url_hash, P)`` at the dedup repartition.
+At 10^10 URLs: pending/seen are hash-partitioned Iceberg tables; the
+seen union is compacted by table maintenance; bloom blobs are sized
+m_bits ≈ 10 × capacity/partition; hot hosts are capped by politeness
+*before* any heavy work.
 """
 
 from __future__ import annotations
@@ -66,15 +69,15 @@ from openalex_collaboration_crawler_spark.functions.url import (
 )
 from openalex_collaboration_crawler_spark.streaming.politeness import select_batch
 from openalex_collaboration_crawler_spark.streaming.seen import (
-    build_bloom_table,
-    dedup_against_seen,
+    mark_new_against_seen,
+    merge_bloom_tables,
 )
 
-FRONTIER_SCHEMA = (
-    "url string, url_hash bigint, host string, depth int, priority int, "
-    "state string, batch_enqueued int"
+PENDING_SCHEMA = (
+    "url string, url_hash bigint, host string, depth int, priority int, batch_enqueued int"
 )
 SEEN_SCHEMA = "url_hash bigint"
+BLOOM_SCHEMA = "part int, blob binary"
 
 PARSE_SCHEMA = (
     "seq long, url string, url_hash long, host string, depth int, "
@@ -145,6 +148,8 @@ class CrawlEngine:
     batch_cap: int = 1 << 30
     default_per_host: int = 8
     bloom_parts: int = 16
+    bloom_m_bits: int = 1 << 20
+    bloom_k: int = 5
     use_bloom: bool = True
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
 
@@ -160,13 +165,21 @@ class CrawlEngine:
         vs = [int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")]
         return max(vs, default=-1)
 
-    def _load(self, name: str, version: int, schema: str) -> DataFrame:
-        path = os.path.join(self.state_dir, name, f"v{version}")
-        return self.spark.read.schema(schema).parquet(path)
+    def _path(self, name: str, tag: str) -> str:
+        return os.path.join(self.state_dir, name, tag)
 
-    def _write(self, df: DataFrame, name: str, version: int) -> None:
-        path = os.path.join(self.state_dir, name, f"v{version}")
-        df.write.mode("overwrite").parquet(path)
+    def _load_pending(self, version: int) -> DataFrame:
+        return self.spark.read.schema(PENDING_SCHEMA).parquet(
+            self._path("pending", f"v{version}")
+        )
+
+    def _load_seen_union(self, version: int) -> DataFrame:
+        paths = [self._path("seen", f"b{i}") for i in range(version + 1)]
+        paths = [p for p in paths if os.path.isdir(p)]
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
+
+    def _load_bloom(self, version: int) -> DataFrame:
+        return self.spark.read.schema(BLOOM_SCHEMA).parquet(self._path("bloom", f"v{version}"))
 
     def _commit(self, version: int, payload: dict) -> None:
         os.makedirs(self._commit_dir(), exist_ok=True)
@@ -179,15 +192,15 @@ class CrawlEngine:
     # ------------------------------------------------------------- seeding
 
     def init_from_seeds(self, seeds: DataFrame) -> None:
-        """v0: frontier = canonicalized seeds (priority from the seed
-        list, depth 0); seen = their hashes. Duplicate seeds collapse
-        to max priority (deterministic)."""
+        """v0: pending = canonicalized seeds (priority from the seed
+        list, depth 0); seen delta b0 = their hashes; bloom v0 over
+        them. Duplicate seeds collapse to max priority."""
         if os.path.isdir(self.state_dir):
             shutil.rmtree(self.state_dir)
         canon = seeds.select(
             canonicalize_url("url").alias("url"), F.col("priority").cast("int").alias("priority")
         )
-        frontier = (
+        pending = (
             canon.groupBy("url")
             .agg(F.max("priority").alias("priority"))
             .select(
@@ -196,12 +209,19 @@ class CrawlEngine:
                 url_host("url").alias("host"),
                 F.lit(0).cast("int").alias("depth"),
                 "priority",
-                F.lit("pending").alias("state"),
                 F.lit(0).cast("int").alias("batch_enqueued"),
             )
         )
-        self._write(frontier, "frontier", 0)
-        self._write(frontier.select("url_hash"), "seen", 0)
+        pending.write.mode("overwrite").parquet(self._path("pending", "v0"))
+        pending.select("url_hash").write.mode("overwrite").parquet(self._path("seen", "b0"))
+        bloom = merge_bloom_tables(
+            None,
+            pending.select("url_hash"),
+            n_parts=self.bloom_parts,
+            m_bits=self.bloom_m_bits,
+            k=self.bloom_k,
+        )
+        bloom.write.mode("overwrite").parquet(self._path("bloom", "v0"))
         self._commit(0, {"batch": -1, "note": "seeded"})
 
     # -------------------------------------------------------------- pages
@@ -210,7 +230,7 @@ class CrawlEngine:
         """The 'network': canonical_url → one deterministic snapshot.
 
         Canonicalization happens scan-side; duplicate snapshots (messy
-        URL variants) resolve by min (warc_ts, url)."""
+        URL variants) resolve by min (warc_ts, html)."""
         if self._pages_prepared is not None:
             return self._pages_prepared
         from pyspark.sql.window import Window
@@ -233,13 +253,11 @@ class CrawlEngine:
 
     def run_batch(self) -> dict:
         """Run one micro-batch; returns its metric dict.
-        No pending URLs → returns {"fetched": 0} without committing."""
+        No pending URLs → returns fetched=0 without committing."""
         v = self.last_version()
-        frontier = self._load("frontier", v, FRONTIER_SCHEMA)
-        seen = self._load("seen", v, SEEN_SCHEMA)
+        pending = self._load_pending(v)
         batch_id = v + 1
 
-        pending = frontier.where(F.col("state") == "pending")
         batch = select_batch(
             pending,
             self.politeness,
@@ -272,7 +290,9 @@ class CrawlEngine:
             "text_match",
             F.lit(batch_id).alias("batch_id"),
         )
-        self._write_results(results, batch_id)
+        results.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "results", f"batch={batch_id}")
+        )
 
         # discover links → canonical → dedup (bloom prefilter + exact)
         discovered = (
@@ -291,34 +311,53 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("priority"),
             )
         )
-        n_discovered = discovered.count()
-        bloom = (
-            build_bloom_table(seen, n_parts=self.bloom_parts) if self.use_bloom else None
-        )
-        new_urls = dedup_against_seen(discovered, seen, bloom, n_parts=self.bloom_parts).select(
+
+        seen_union = self._load_seen_union(v)
+        if self.use_bloom:
+            bloom = self._load_bloom(v).cache()
+            marked = mark_new_against_seen(
+                discovered, seen_union, bloom, n_parts=self.bloom_parts
+            ).cache()
+        else:
+            bloom = None
+            matched = seen_union.join(
+                F.broadcast(discovered.select("url_hash")), "url_hash", "left_semi"
+            ).withColumn("__m", F.lit(1))
+            marked = (
+                discovered.join(F.broadcast(matched), "url_hash", "left")
+                .withColumn("is_new", F.col("__m").isNull())
+                .drop("__m")
+            ).cache()
+        counts = marked.agg(
+            F.count("*").alias("nd"), F.sum(F.col("is_new").cast("int")).alias("nn")
+        ).collect()[0]
+        n_discovered, n_new = int(counts["nd"]), int(counts["nn"] or 0)
+        new_urls = marked.where("is_new").select(
             "url",
             "url_hash",
             "host",
             "depth",
-            F.col("priority"),
-            F.lit("pending").alias("state"),
+            "priority",
             F.lit(batch_id).cast("int").alias("batch_enqueued"),
         )
-        new_urls = new_urls.cache()
-        n_new = new_urls.count()
 
-        # next frontier: flip fetched rows, append new pending rows
-        fetched_hashes = batch.select("url_hash")
-        next_frontier = (
-            frontier.join(fetched_hashes, "url_hash", "left_semi")
-            .withColumn("state", F.lit("fetched"))
-            .unionByName(frontier.join(fetched_hashes, "url_hash", "left_anti"))
-            .unionByName(new_urls)
+        # commit state: pending shrinks by the batch, grows by the new
+        next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
+            new_urls
         )
-        next_seen = seen.unionByName(new_urls.select("url_hash"))
-
-        self._write(next_frontier, "frontier", batch_id)
-        self._write(next_seen, "seen", batch_id)
+        next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
+        new_urls.select("url_hash").write.mode("overwrite").parquet(
+            self._path("seen", f"b{batch_id}")
+        )
+        if self.use_bloom:
+            next_bloom = merge_bloom_tables(
+                bloom,
+                new_urls.select("url_hash"),
+                n_parts=self.bloom_parts,
+                m_bits=self.bloom_m_bits,
+                k=self.bloom_k,
+            )
+            next_bloom.write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
 
         # metrics: batch counters + per-partition lineage
         agg = parsed.agg(
@@ -338,14 +377,11 @@ class CrawlEngine:
         }
         self._write_partition_metrics(parsed, batch_id)
         self._commit(batch_id, metrics)
-        batch.unpersist()
-        parsed.unpersist()
-        new_urls.unpersist()
+        for df in (batch, parsed, marked):
+            df.unpersist()
+        if bloom is not None:
+            bloom.unpersist()
         return metrics
-
-    def _write_results(self, results: DataFrame, batch_id: int) -> None:
-        path = os.path.join(self.state_dir, "results", f"batch={batch_id}")
-        results.write.mode("overwrite").parquet(path)
 
     def _write_partition_metrics(self, parsed: DataFrame, batch_id: int) -> None:
         """Per-partition lineage: which task partition produced how many
@@ -363,8 +399,9 @@ class CrawlEngine:
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
-        path = os.path.join(self.state_dir, "metrics", f"batch={batch_id}")
-        per_part.write.mode("overwrite").parquet(path)
+        per_part.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "metrics", f"batch={batch_id}")
+        )
 
     # ------------------------------------------------------------ the loop
 
@@ -385,6 +422,11 @@ class CrawlEngine:
             os.path.join(self.state_dir, "results", "batch=*")
         )
 
+    def metrics_table(self) -> DataFrame:
+        return self.spark.read.option("basePath", os.path.join(self.state_dir, "metrics")).parquet(
+            os.path.join(self.state_dir, "metrics", "batch=*")
+        )
+
     def crawl_order(self) -> list[tuple[int, int, str]]:
         """[(batch_id, seq, url)] — the engine's total crawl order."""
         rows = (
@@ -397,7 +439,4 @@ class CrawlEngine:
 
     def seen_hashes(self) -> set[int]:
         v = self.last_version()
-        return {
-            r["url_hash"]
-            for r in self._load("seen", v, SEEN_SCHEMA).collect()
-        }
+        return {r["url_hash"] for r in self._load_seen_union(v).collect()}

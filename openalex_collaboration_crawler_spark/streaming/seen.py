@@ -78,6 +78,69 @@ def bloom_probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
     return hit.all(axis=1).astype(bool)
 
 
+# ------------------------------------------------- fixed-size bloom (incremental)
+
+
+def fixed_bloom_build_blob(hashes: np.ndarray, m_bits: int, k: int) -> bytes:
+    """Bloom blob with caller-pinned (m, k) — OR-mergeable across
+    builds, enabling incremental maintenance (new deltas OR into the
+    standing blob instead of rebuilding over the full seen set)."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(hashes):
+        pos = _bloom_positions(np.asarray(hashes), m_bits, k).ravel()
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    header = np.array([m_bits, k], dtype=np.uint64).tobytes()
+    return header + bits.tobytes()
+
+
+def bloom_or_blobs(a: bytes | None, b: bytes | None) -> bytes | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    ha, hb = a[:16], b[:16]
+    assert ha == hb, "bloom OR-merge requires identical (m,k)"
+    bits = np.frombuffer(a[16:], dtype=np.uint8) | np.frombuffer(b[16:], dtype=np.uint8)
+    return ha + bits.tobytes()
+
+
+def merge_bloom_tables(
+    prev: DataFrame | None,
+    new_hashes: DataFrame,
+    hash_col: str = "url_hash",
+    n_parts: int = 32,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental per-partition blobs: build fixed-size blooms over
+    the new delta and OR them into the previous blobs. One small
+    shuffle on ``part`` (the delta), never a rescan of the full seen
+    set — the maintenance cost per batch is O(|delta| + n_parts)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part"].iloc[0]) if len(pdf) else 0
+        blob = fixed_bloom_build_blob(
+            pdf["h"].to_numpy(np.int64).view(np.uint64), m_bits, k
+        )
+        return pd.DataFrame({"part": [part], "blob": [blob]})
+
+    keyed = new_hashes.select(
+        F.col(hash_col).alias("h"), F.pmod(F.col(hash_col), F.lit(n_parts)).alias("part")
+    )
+    delta = keyed.groupBy("part").applyInPandas(build, schema="part int, blob binary")
+    if prev is None:
+        return delta
+    both = prev.select("part", "blob").unionByName(delta)
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = None
+        for b in pdf["blob"]:
+            blob = bloom_or_blobs(blob, None if b is None else bytes(b))
+        return pd.DataFrame({"part": [int(pdf["part"].iloc[0])], "blob": [blob]})
+
+    return both.groupBy("part").applyInPandas(or_group, schema="part int, blob binary")
+
+
 # --------------------------------------------------------- bloom on Spark
 
 
@@ -103,36 +166,64 @@ def bloom_filter_candidates(
     hash_col: str = "url_hash",
     n_parts: int = 32,
 ) -> DataFrame:
-    """Drop candidates whose hash is *definitely unseen*? No — inverse:
-    returns candidates with a ``maybe_seen`` flag; callers keep
-    ``~maybe_seen`` rows as definitely-new (no anti-join needed for
-    them) and anti-join only the maybe-seen survivors.
+    """Returns candidates + a ``maybe_seen`` flag; callers treat
+    ``~maybe_seen`` rows as definitely-new (Bloom has no false
+    negatives) and exact-check only the maybe-seen survivors.
 
-    Implemented as a co-partitioned left join (blob per part) +
-    vectorized probe in mapInPandas."""
-    keyed = candidates.withColumn("part", F.pmod(F.col(hash_col), F.lit(n_parts)))
-    joined = keyed.join(bloom_table, "part", "left")
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields)
-    schema = out_schema + ", maybe_seen boolean"
+    Implemented as a ``cogroup`` on ``part``: each hash partition of
+    the candidates meets its single blob row exactly once — the blob
+    (100s of KB) is NEVER replicated per candidate row, and the probe
+    itself is one vectorized numpy pass per group."""
+    keyed = candidates.withColumn(
+        "part", F.pmod(F.col(hash_col), F.lit(n_parts)).cast("int")
+    )
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields)
+        + ", maybe_seen boolean"
+    )
     cols = [f.name for f in keyed.schema.fields]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.reset_index(drop=True)
-            maybe = np.zeros(len(pdf), dtype=bool)
-            hashes = pdf[hash_col].to_numpy(np.int64)
-            # one blob per part value; group rows by part, probe vectorized
-            for _, idx in pdf.groupby("part", sort=False).indices.items():
-                blob = pdf["blob"].iloc[idx[0]]
-                if blob is not None and not (isinstance(blob, float) and pd.isna(blob)):
-                    maybe[idx] = bloom_probe_blob(bytes(blob), hashes[idx].view(np.uint64))
-            out = pdf[cols].copy()
-            out["maybe_seen"] = maybe
-            yield out
+    def probe(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf[cols].copy()
+        if len(blob_pdf) and blob_pdf["blob"].iloc[0] is not None:
+            blob = bytes(blob_pdf["blob"].iloc[0])
+            h = cand_pdf[hash_col].to_numpy(np.int64).view(np.uint64)
+            out["maybe_seen"] = bloom_probe_blob(blob, h)
+        else:
+            out["maybe_seen"] = False
+        return out
 
-    return joined.mapInPandas(probe, schema=schema)
+    return (
+        keyed.groupBy("part")
+        .cogroup(bloom_table.groupBy("part"))
+        .applyInPandas(lambda key, c, b: probe(c, b), schema=schema)
+    )
+
+
+def mark_new_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_table: DataFrame,
+    hash_col: str = "url_hash",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Candidates + exact ``is_new`` flag, computed shuffle-free w.r.t.
+    the seen table: Bloom probe → survivors broadcast into a semi-join
+    that only SCANS seen → small matched set broadcast back.
+
+    Callers should ``.cache()`` the result before taking multiple
+    actions on it (the probe + scans re-execute otherwise)."""
+    flagged = bloom_filter_candidates(candidates, bloom_table, hash_col, n_parts)
+    survivors = flagged.where(F.col("maybe_seen")).select(hash_col)
+    matched = (
+        seen.select(hash_col)
+        .join(F.broadcast(survivors), hash_col, "left_semi")
+        .withColumn("__matched", F.lit(1))
+    )
+    out = flagged.join(F.broadcast(matched), hash_col, "left").withColumn(
+        "is_new", ~F.col("maybe_seen") | F.col("__matched").isNull()
+    )
+    return out.drop("__matched", "maybe_seen", "part")
 
 
 # ------------------------------------------------------------ cuckoo core
@@ -267,13 +358,15 @@ def dedup_against_seen(
     hash_col: str = "url_hash",
     n_parts: int = 32,
 ) -> DataFrame:
-    """Exactly-new candidates: Bloom prefilter (optional) then
-    left_anti on the seen table. The prefilter's definitely-new rows
-    bypass the anti-join shuffle entirely."""
+    """Exactly-new candidates: Bloom prefilter (optional) then an
+    exact check on the seen table. The prefilter's definitely-new
+    rows bypass the exact check entirely.
+
+    The exact check avoids shuffling the (huge) seen table: survivors
+    are broadcast into a semi-join that *streams* seen (scan only),
+    and the small matched set is broadcast back for the final
+    anti-join. Net shuffle volume: zero; seen is only ever scanned."""
     if bloom_table is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    flagged = bloom_filter_candidates(candidates, bloom_table, hash_col, n_parts)
-    definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen", "part")
-    survivors = flagged.where(F.col("maybe_seen")).drop("maybe_seen", "part")
-    confirmed_new = survivors.join(seen.select(hash_col), hash_col, "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    marked = mark_new_against_seen(candidates, seen, bloom_table, hash_col, n_parts)
+    return marked.where(F.col("is_new")).drop("is_new")
