@@ -19,12 +19,23 @@ from openalex_collaboration_crawler_spark.functions import url as URL
 from openalex_collaboration_crawler_spark.operators import analytics as AN
 from openalex_collaboration_crawler_spark.operators import dedup as DD
 from openalex_collaboration_crawler_spark.operators import edges as ED
+from openalex_collaboration_crawler_spark.operators import graphstats as GS
+from openalex_collaboration_crawler_spark.operators import papers as PP
 from openalex_collaboration_crawler_spark.operators import similarity as SIM
+from openalex_collaboration_crawler_spark.operators.authors import (
+    compact_author_records,
+    compress_author_affmap,
+)
+from openalex_collaboration_crawler_spark.operators.multimodal import (
+    build_synthetic_media,
+    extract_features,
+)
 from openalex_collaboration_crawler_spark.sources.tables import (
     COLLAB_MODEL_SQL,
     collab_model,
     load_table,
 )
+from openalex_collaboration_crawler_spark.streaming.politeness import select_batch
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -217,6 +228,323 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- OpenAlex full-path queries (JSONL round trip) ----------
+
+_AU_NATION = "NATION_19"  # not a prefix of any other nation name
+
+
+def _author_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic OpenAlex-shaped author JSONL derived from
+    supplier/nation/orders — feeds the real extract→compact→compress
+    operator chain (to_json → from_json round trip)."""
+    cm = (
+        collab_model(spark, sf_dir)
+        .join(load_table(spark, sf_dir, "supplier"), F.col("author") == F.col("s_suppkey"))
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "year", "n_name")
+    )
+    per_aff = cm.groupBy("s_suppkey", "s_name", "n_name").agg(
+        F.array_sort(F.collect_set(F.col("year").cast("string"))).alias("years")
+    )
+    affs = per_aff.groupBy("s_suppkey", "s_name").agg(
+        F.collect_list(
+            F.struct(
+                F.struct(F.col("n_name").alias("country_code")).alias("institution"),
+                F.col("years"),
+            )
+        ).alias("affiliations")
+    )
+    return affs.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("https://openalex.org/A"), F.col("s_suppkey").cast("string")).alias(
+                    "id"
+                ),
+                F.col("s_name").alias("display_name"),
+                F.col("affiliations"),
+            )
+        ).alias("raw")
+    )
+
+
+def _q_authors_affmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _author_jsonl(spark, sf_dir)
+    affmap = compress_author_affmap(compact_author_records(raw))
+    return affmap.select(
+        "display_name", "year", F.array_join("countries", ",").alias("countries")
+    )
+
+
+_AUTHORS_AFFMAP_SQL = f"""
+SELECT s.s_name AS display_name, CAST(c.year AS VARCHAR) AS year,
+       array_to_string(list_sort(list_distinct(list(n.n_name))), ',') AS countries
+FROM ({COLLAB_MODEL_SQL}) c
+JOIN supplier s ON c.author = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def _works_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenAlex-shaped works JSONL: one work per order; authorships from
+    its lineitem suppliers (countries = their nation); one concept with
+    a deterministic score; topic/subfield from order attributes."""
+    au = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.struct(
+                        F.concat(F.lit("https://openalex.org/A"), F.col("s_suppkey").cast("string")).alias("id"),
+                        F.col("s_name").alias("display_name"),
+                    ).alias("author"),
+                    F.array(F.col("n_name")).alias("countries"),
+                )
+            ).alias("authorships")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(au, o.o_orderkey == au.l_orderkey)
+    score = (F.col("o_orderkey") % 100).cast("double") / F.lit(100.0)
+    return joined.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("https://openalex.org/W"), F.col("o_orderkey").cast("string")).alias("id"),
+                F.year("o_orderdate").cast("long").alias("publication_year"),
+                F.array(
+                    F.struct(
+                        F.lit("https://openalex.org/C1").alias("id"),
+                        F.lit("Concept One").alias("display_name"),
+                        score.alias("score"),
+                    )
+                ).alias("concepts"),
+                F.array(
+                    F.struct(
+                        F.col("o_orderpriority").alias("display_name"),
+                        F.struct(F.col("o_orderstatus").alias("display_name")).alias("subfield"),
+                    )
+                ).alias("topics"),
+                F.col("authorships"),
+            )
+        ).alias("raw")
+    )
+
+
+def _keep_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep list: suppliers of the target nation (papers.cpp:115-128)."""
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").where(F.col("n_name") == _AU_NATION),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_name").alias("name"))
+    )
+
+
+def _q_papers_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _works_jsonl(spark, sf_dir)
+    kept, _, _ = PP.papers_pipeline(
+        raw, _keep_names(spark, sf_dir), _AU_NATION, "https://openalex.org/C1", confidence=0.3
+    )
+    wid = F.from_json("raw", "id string")["id"]
+    return kept.select(
+        PP.strip_prefix(wid).substr(F.lit(2), F.lit(20)).cast("long").alias("work_id")
+    )
+
+
+_PAPERS_KEPT_SQL = f"""
+WITH au AS (
+  SELECT DISTINCT l.l_orderkey, n.n_name
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT o.o_orderkey AS work_id
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM au WHERE au.l_orderkey = o.o_orderkey
+              AND au.n_name = '{_AU_NATION}')
+  AND NOT (CAST(o.o_orderkey % 100 AS DOUBLE) / 100.0 <= 0.3)
+"""
+
+
+def _q_topic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _works_jsonl(spark, sf_dir)
+    cand = PP.parsed_candidates(raw, _AU_NATION, "https://openalex.org/C1", confidence=0.3)
+    topics, _ = PP.topic_distributions(cand)
+    return topics
+
+
+_TOPIC_DIST_SQL = f"""
+WITH au AS (
+  SELECT DISTINCT l.l_orderkey, n.n_name
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT o.o_orderpriority AS topic, CAST(year(o.o_orderdate) AS BIGINT) AS year,
+       count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM au WHERE au.l_orderkey = o.o_orderkey
+              AND au.n_name = '{_AU_NATION}')
+  AND NOT (CAST(o.o_orderkey % 100 AS DOUBLE) / 100.0 <= 0.3)
+GROUP BY 1, 2
+"""
+
+
+# -------------------------- graph algorithms ----------------------------
+
+
+def _q_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir)))
+    return GS.disparity_backbone(w, threshold=0.25)
+
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sparse slice: only strong edges so the graph actually fragments
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    return GS.connected_components(w)
+
+
+_CC_SQL_TEMPLATE = """
+WITH RECURSIVE base AS ({edges}),
+e AS (
+  SELECT author1 AS u, author2 AS v FROM base WHERE author1 <> author2
+  UNION SELECT author2 AS u, author1 AS v FROM base WHERE author1 <> author2
+),
+n AS (SELECT DISTINCT u AS node FROM e),
+reach(a, b) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u
+)
+SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+"""
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 2
+    )
+    return GS.transitivity(w)
+
+
+_TRANSITIVITY_SQL_TEMPLATE = """
+WITH base AS ({edges}),
+und AS (
+  SELECT author1 AS u, author2 AS v FROM base WHERE author1 <> author2
+  UNION SELECT author2 AS u, author1 AS v FROM base WHERE author1 <> author2
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+oriented AS (
+  SELECT und.u, und.v FROM und
+  JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u
+  WHERE du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+),
+wedges AS (
+  SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+closing AS (
+  SELECT u AS w1, v AS w2 FROM oriented
+  UNION ALL SELECT v AS w1, u AS w2 FROM oriented
+),
+tri AS (
+  SELECT count(*) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closing c WHERE c.w1 = w.w1 AND c.w2 = w.w2)
+),
+trip AS (SELECT sum(d * (d - 1) / 2) AS n_triplets FROM deg)
+SELECT CASE WHEN n_triplets > 0
+            THEN round(3.0 * n_triangles / n_triplets, 6) ELSE 0.0 END AS transitivity
+FROM tri, trip
+"""
+
+
+# ---------------------- politeness / events / media ---------------------
+
+
+def _pending_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _synth_urls(spark, sf_dir)
+    return u.select(
+        URL.canonicalize_url("url").alias("url"),
+        URL.url_hash("url").alias("url_hash"),
+        URL.url_host("url").alias("host"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        (F.col("doc_id") % 7).cast("int").alias("priority"),
+    )
+
+
+def _q_politeness_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pending = _pending_urls(spark, sf_dir)
+    politeness = pending.select("host").distinct().withColumn("max_per_batch", F.lit(3))
+    return select_batch(pending, politeness).select("seq", "url", "host", "depth", "priority")
+
+
+_POLITENESS_SQL = f"""
+WITH pending AS (
+  SELECT {URL.canonicalize_url_sql("url")} AS url,
+         {URL.url_hash_sql("url")} AS url_hash,
+         {URL.url_host_sql("url")} AS host,
+         CAST(doc_id % 4 AS INT) AS depth,
+         CAST(doc_id % 7 AS INT) AS priority
+  FROM ({_SYNTH_URL_SQL})
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY depth ASC, priority DESC, url_hash ASC) AS rn
+  FROM pending
+)
+SELECT CAST(row_number() OVER (ORDER BY depth ASC, priority DESC, url_hash ASC) - 1 AS BIGINT)
+         AS seq,
+       url, host, depth, priority
+FROM capped WHERE rn <= 3
+"""
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS w_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke (no SQL oracle — binary decode path);
+    deterministic synthetic media, features reduced to a checksum."""
+    media = build_synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "decode_ok",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )
+
+
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped agg — exercises decimal-exact sums + multi-agg."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -256,6 +584,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "url_canonicalize": _q_url_canonicalize,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "authors_affmap": _q_authors_affmap,
+        "papers_kept": _q_papers_kept,
+        "topic_dist": _q_topic_dist,
+        "backbone": _q_backbone,
+        "connected_components": _q_connected_components,
+        "transitivity": _q_transitivity,
+        "politeness_batch": _q_politeness_batch,
+        "events_hourly": _q_events_hourly,
+        "media_features": _q_media_features,
     }
 
 
@@ -320,6 +657,19 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
 """,
+        "authors_affmap": _AUTHORS_AFFMAP_SQL,
+        "papers_kept": _PAPERS_KEPT_SQL,
+        "topic_dist": _TOPIC_DIST_SQL,
+        "backbone": GS.disparity_backbone_sql(_WEIGHTED_SQL, threshold=0.25),
+        "connected_components": _CC_SQL_TEMPLATE.format(
+            edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3"
+        ),
+        "transitivity": _TRANSITIVITY_SQL_TEMPLATE.format(
+            edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 2"
+        ),
+        "politeness_batch": _POLITENESS_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        # media_features: no SQL oracle (binary decode path) — rows-only
     }
 
 

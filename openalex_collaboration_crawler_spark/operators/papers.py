@@ -99,9 +99,10 @@ def keep_papers(
     the keep list. ``keep_names`` has one column ``name`` (already
     lowercased by the loader, papers.cpp:115-128). Returns the kept
     raw lines verbatim (S6)."""
-    au = candidates.select(
-        F.monotonically_increasing_id().alias("__rid"), "raw", F.explode("w.authorships").alias("a")
+    base = candidates.select(
+        F.monotonically_increasing_id().alias("__rid"), "raw", "w"
     )
+    au = base.select("__rid", F.explode("w.authorships").alias("a"))
     # reference builds ",US,IT" then substring-searches the code
     aff_str = F.when(
         F.size(F.coalesce(F.col("a.countries"), F.array().cast("array<string>"))) > 0,
@@ -114,8 +115,7 @@ def keep_papers(
         .select("__rid")
         .distinct()
     )
-    withid = candidates.select(F.monotonically_increasing_id().alias("__rid"), "raw")
-    return withid.join(hits, "__rid", "left_semi").select("raw")
+    return base.join(hits, "__rid", "left_semi").select("raw")
 
 
 def topic_distributions(candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
