@@ -545,6 +545,73 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        collab_model(spark, sf_dir)
+        .select("author")
+        .distinct()
+        .join(load_table(spark, sf_dir, "supplier"), F.col("author") == F.col("s_suppkey"))
+        .select(F.col("author").alias("node"), F.col("s_nationkey").alias("community"))
+    )
+
+
+_NATION_MEMBERSHIP_SQL = f"""
+SELECT DISTINCT c.author AS node, s.s_nationkey AS community
+FROM ({COLLAB_MODEL_SQL}) c JOIN supplier s ON c.author = s.s_suppkey
+"""
+
+
+def _q_community_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir)))
+    return GS.community_metrics(w, _nation_membership(spark, sf_dir))
+
+
+def _q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _nation_membership(spark, sf_dir).withColumnRenamed("community", "label")
+    reg = (
+        _nation_membership(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("community") == F.col("n_nationkey"),
+        )
+        .select("node", F.col("n_regionkey").alias("label"))
+    )
+    return AN.nmi(nat, reg)
+
+
+_NMI_SQL = AN.nmi_sql(
+    f"SELECT node, community AS label FROM ({_NATION_MEMBERSHIP_SQL})",
+    f"""SELECT m.node, n.n_regionkey AS label
+        FROM ({_NATION_MEMBERSHIP_SQL}) m JOIN nation n ON m.community = n.n_nationkey""",
+)
+
+
+def _q_community_size_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.community_size_split(_nation_membership(spark, sf_dir), pct=0.9)
+
+
+def _q_topk_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    df = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.year("o_orderdate").alias("year"), F.col("p_type").alias("topic"))
+    )
+    return AN.topk_pivot(df, "year", "topic", k=3)
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain over the significant-edge backbone (reference 05 stage);
+    no SQL oracle (iterative algorithm) — rows-only driver check,
+    determinism pinned by seed=42 in tests/test_communities.py."""
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    return GS.louvain_communities(w, seed=42)
+
+
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped agg — exercises decimal-exact sums + multi-agg."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -593,6 +660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_batch": _q_politeness_batch,
         "events_hourly": _q_events_hourly,
         "media_features": _q_media_features,
+        "community_metrics": _q_community_metrics,
+        "nmi_nation_vs_region": _q_nmi,
+        "community_size_split": _q_community_size_split,
+        "topk_pivot": _q_topk_pivot,
+        "louvain": _q_louvain,
     }
 
 
@@ -670,6 +742,18 @@ GROUP BY 1, 2
         "politeness_batch": _POLITENESS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         # media_features: no SQL oracle (binary decode path) — rows-only
+        "community_metrics": GS.community_metrics_sql(_WEIGHTED_SQL, _NATION_MEMBERSHIP_SQL),
+        "nmi_nation_vs_region": _NMI_SQL,
+        "community_size_split": AN.community_size_split_sql(_NATION_MEMBERSHIP_SQL, pct=0.9),
+        "topk_pivot": AN.topk_pivot_sql(
+            """SELECT year(o.o_orderdate) AS year, p.p_type AS topic
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+            "year",
+            "topic",
+            k=3,
+        ),
+        # louvain: no SQL oracle (iterative community detection) — rows-only
     }
 
 

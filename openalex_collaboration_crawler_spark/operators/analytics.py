@@ -295,6 +295,143 @@ FROM inter i JOIN sizes s USING (iv_before, comm_before)
 """
 
 
+def community_size_split(
+    membership: DataFrame,
+    pct: float = 0.99,
+    comm_col: str = "community",
+    node_col: str = "node",
+) -> DataFrame:
+    """A10+A11 (07_community_flow.py:146-184): exact size percentile
+    threshold; communities at/above it keep their id, the rest merge
+    into a 'sink' pseudo-community. Output: (community_label, n_nodes,
+    n_communities)."""
+    sizes = membership.groupBy(F.col(comm_col).alias("comm")).agg(
+        F.countDistinct(node_col).alias("sz")
+    )
+    thr = sizes.agg(F.expr(f"percentile(sz, {pct})").alias("t"))
+    labeled = sizes.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("sz") >= F.col("t"), F.col("comm").cast("string"))
+        .otherwise(F.lit("sink"))
+        .alias("community_label"),
+        "sz",
+    )
+    return labeled.groupBy("community_label").agg(
+        F.sum("sz").alias("n_nodes"), F.count("*").alias("n_communities")
+    )
+
+
+def community_size_split_sql(
+    membership_sql: str, pct: float = 0.99, comm_col: str = "community", node_col: str = "node"
+) -> str:
+    return f"""
+WITH sizes AS (
+  SELECT {comm_col} AS comm, count(DISTINCT {node_col}) AS sz
+  FROM ({membership_sql}) GROUP BY 1
+),
+thr AS (SELECT quantile_cont(sz, {pct}) AS t FROM sizes),
+labeled AS (
+  SELECT CASE WHEN s.sz >= thr.t THEN CAST(s.comm AS VARCHAR) ELSE 'sink' END
+           AS community_label, s.sz
+  FROM sizes s, thr
+)
+SELECT community_label, sum(sz) AS n_nodes, count(*) AS n_communities
+FROM labeled GROUP BY 1
+"""
+
+
+def nmi(
+    a: DataFrame,
+    b: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Normalized mutual information between two labelings of the same
+    node set (06_community_stability.py:67-104 uses sklearn NMI with
+    arithmetic-mean normalization; here: contingency groupBy + entropy
+    column math — one shuffle, no sklearn).
+
+    NMI = 2·I(A;B) / (H(A) + H(B)); identical labelings → 1.0."""
+    aa = a.select(F.col(node_col).alias("node"), F.col(label_col).alias("la"))
+    bb = b.select(F.col(node_col).alias("node"), F.col(label_col).alias("lb"))
+    joint = aa.join(bb, "node")
+    n = joint.count()
+    if n == 0:
+        raise ValueError("empty node intersection")
+    cont = joint.groupBy("la", "lb").agg(F.count("*").alias("nij"))
+    pa = cont.groupBy("la").agg(F.sum("nij").alias("ni"))
+    pb = cont.groupBy("lb").agg(F.sum("nij").alias("nj"))
+    ln = F.log
+    mi_terms = (
+        cont.join(pa, "la")
+        .join(pb, "lb")
+        .select(
+            (
+                (F.col("nij") / F.lit(n))
+                * ln(F.lit(n) * F.col("nij") / (F.col("ni") * F.col("nj")))
+            ).alias("term")
+        )
+    )
+    mi = mi_terms.agg(F.sum("term").alias("mi"))
+    ha = pa.select(((F.col("ni") / F.lit(n)) * ln(F.col("ni") / F.lit(n))).alias("t")).agg(
+        (-F.sum("t")).alias("ha")
+    )
+    hb = pb.select(((F.col("nj") / F.lit(n)) * ln(F.col("nj") / F.lit(n))).alias("t")).agg(
+        (-F.sum("t")).alias("hb")
+    )
+    return (
+        mi.crossJoin(ha)
+        .crossJoin(hb)
+        .select(
+            F.when(F.col("ha") + F.col("hb") > 0, F.round(2 * F.col("mi") / (F.col("ha") + F.col("hb")), 6))
+            .otherwise(F.lit(1.0))
+            .alias("nmi")
+        )
+    )
+
+
+def nmi_sql(a_sql: str, b_sql: str, node_col: str = "node", label_col: str = "label") -> str:
+    return f"""
+WITH aa AS (SELECT {node_col} AS node, {label_col} AS la FROM ({a_sql})),
+bb AS (SELECT {node_col} AS node, {label_col} AS lb FROM ({b_sql})),
+joint AS (SELECT aa.la, bb.lb FROM aa JOIN bb USING (node)),
+tot AS (SELECT count(*) AS n FROM joint),
+cont AS (SELECT la, lb, count(*) AS nij FROM joint GROUP BY 1, 2),
+pa AS (SELECT la, sum(nij) AS ni FROM cont GROUP BY 1),
+pb AS (SELECT lb, sum(nij) AS nj FROM cont GROUP BY 1),
+mi AS (
+  SELECT sum((CAST(nij AS DOUBLE) / n) * ln(n * CAST(nij AS DOUBLE) / (ni * nj))) AS mi
+  FROM cont JOIN pa USING (la) JOIN pb USING (lb), tot
+),
+ha AS (SELECT -sum((CAST(ni AS DOUBLE) / n) * ln(CAST(ni AS DOUBLE) / n)) AS ha FROM pa, tot),
+hb AS (SELECT -sum((CAST(nj AS DOUBLE) / n) * ln(CAST(nj AS DOUBLE) / n)) AS hb FROM pb, tot)
+SELECT CASE WHEN ha + hb > 0 THEN round(2 * mi / (ha + hb), 6) ELSE 1.0 END AS nmi
+FROM mi, ha, hb
+"""
+
+
+def topk_pivot(
+    df: DataFrame, group_col: str, item_col: str, k: int = 3
+) -> DataFrame:
+    """A7/W4 (01_A_plot_openalex_ontology.py:45-59): rank items per
+    group (row_number — rank(method='first') semantics) and pivot the
+    top-K ranks into columns rank_1..rank_K."""
+    ranked = topk_per_group(df, group_col, item_col, k)
+    return (
+        ranked.groupBy(group_col)
+        .pivot("rank", list(range(1, k + 1)))
+        .agg(F.first(item_col))
+        .toDF(group_col, *[f"rank_{i}" for i in range(1, k + 1)])
+    )
+
+
+def topk_pivot_sql(table_sql: str, group_col: str, item_col: str, k: int = 3) -> str:
+    inner = topk_per_group_sql(table_sql, group_col, item_col, k)
+    cols = ", ".join(
+        f"max(CASE WHEN rank = {i} THEN {item_col} END) AS rank_{i}" for i in range(1, k + 1)
+    )
+    return f"SELECT {group_col}, {cols} FROM ({inner}) GROUP BY {group_col}"
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

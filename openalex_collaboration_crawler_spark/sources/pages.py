@@ -84,10 +84,17 @@ def page_text(i) -> "F.Column":
     )
 
 
-def build_pages(spark: SparkSession, n_pages: int = 2000, dup_frac_mod: int = 11) -> DataFrame:
+def build_pages(
+    spark: SparkSession,
+    n_pages: int = 2000,
+    dup_frac_mod: int = 11,
+    payload_repeat: int = 1,
+) -> DataFrame:
     """The synthetic web: one row per page + messy-duplicate rows for
     every ``dup_frac_mod``-th page. html is the gzip payload; text is
-    the extraction golden."""
+    the extraction golden. ``payload_repeat`` pads the JSON body with
+    a filler field (text × K) so decode cost scales for benchmarks
+    without touching the goldens."""
     base = spark.range(n_pages).withColumnRenamed("id", "i")
     i = F.col("i")
     links = F.array(
@@ -129,16 +136,15 @@ def build_pages(spark: SparkSession, n_pages: int = 2000, dup_frac_mod: int = 11
         for pdf in batches:
             payloads = []
             for i_val, text, links in zip(pdf["i"], pdf["text"], pdf["links"]):
-                body = json.dumps(
-                    {
-                        "id": f"https://openalex.org/W{int(i_val)}",
-                        "text": text,
-                        "links": list(links),
-                        "publication_year": 1990 + int(i_val) % 30,
-                    },
-                    sort_keys=True,
-                    separators=(",", ":"),
-                )
+                record = {
+                    "id": f"https://openalex.org/W{int(i_val)}",
+                    "text": text,
+                    "links": list(links),
+                    "publication_year": 1990 + int(i_val) % 30,
+                }
+                if payload_repeat > 1:
+                    record["filler"] = text * payload_repeat
+                body = json.dumps(record, sort_keys=True, separators=(",", ":"))
                 # gzip with fixed mtime+level → byte-deterministic
                 payloads.append(gzip.compress(body.encode("utf-8"), compresslevel=6, mtime=0))
             out = pdf[["i", "url", "warc_ts", "text", "lang"]].copy()

@@ -70,8 +70,39 @@ def select_batch(
         .where(F.col("__rn") <= F.col("__cap"))
         .drop("__rn", "__cap", "max_per_batch")
     )
-    w_all = Window.orderBy(*frontier_order())
+    return add_global_seq(per_host).where(F.col("seq") < batch_cap)
+
+
+def add_global_seq(df: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Deterministic dense global ``seq`` by (depth, -priority,
+    url_hash) WITHOUT a single-partition sort.
+
+    Two-phase global rank: range-repartition on the order keys, rank
+    within each range partition in parallel, then shift by the
+    cumulative partition counts (tiny driver-side collect). The order
+    is a pure function of the data — range boundaries only affect
+    which task computes a rank, never the rank itself — so crawl-order
+    parity holds at any parallelism (the north-rule requirement)."""
+    if n_parts is None:
+        n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(
+        n_parts, F.col("depth").asc(), F.col("priority").desc(), F.col("url_hash").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("__pid").orderBy(*frontier_order())
     return (
-        per_host.withColumn("seq", F.row_number().over(w_all) - 1)
-        .where(F.col("seq") < batch_cap)
+        ranged.withColumn("seq", F.row_number().over(w) - 1 + off_expr)
+        .drop("__pid")
     )

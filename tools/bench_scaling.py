@@ -1,0 +1,118 @@
+"""Two-cluster-size scaling evidence (sandbox substitute per BASELINE).
+
+Packages the engine as a --py-files zip, runs tools/scaling_job.py via
+``spark-submit --master local[N]`` at two parallelism levels on the
+SAME input, and writes throughput + scaling efficiency to
+BENCH/BASELINE.md.
+
+eff = (T_low / T_high) * (cores_low / cores_high)  — target ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
+PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "20"))
+
+
+def build_zip() -> str:
+    dist = os.path.join(WORK, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "engine.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "openalex_collaboration_crawler_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+        z.write(os.path.join(REPO, "__spark_entry__.py"), "__spark_entry__.py")
+    return zpath
+
+
+def ensure_pages() -> str:
+    pages_path = os.path.join(WORK, f"pages_{PAGES}_x{PAYLOAD_REPEAT}")
+    if not os.path.isdir(pages_path):
+        sys.path.insert(0, REPO)
+        from openalex_collaboration_crawler_spark.session import get_spark
+        from openalex_collaboration_crawler_spark.sources.pages import build_pages
+
+        spark = get_spark(app_name="build_pages")
+        build_pages(spark, n_pages=PAGES, payload_repeat=PAYLOAD_REPEAT).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+        spark.stop()
+    return pages_path
+
+
+def run_at(cores: int, zpath: str, pages_path: str) -> dict:
+    state = os.path.join(WORK, f"scaling_state_{cores}")
+    if os.path.isdir(state):
+        shutil.rmtree(state)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_PAGES"] = str(PAGES)
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cores}]",
+        "--driver-memory",
+        "24g",
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "tools", "scaling_job.py"),
+        str(cores),
+        pages_path,
+        state,
+    ]
+    t0 = time.time()
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    wall = time.time() - t0
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"scaling job at local[{cores}] produced no JSON")
+    d = json.loads(line[-1])
+    d["wall_sec"] = round(wall, 2)
+    return d
+
+
+def main() -> None:
+    lo, hi = int(os.environ.get("SCALE_LO", "8")), int(os.environ.get("SCALE_HI", "32"))
+    zpath = build_zip()
+    pages_path = ensure_pages()
+    r_hi = run_at(hi, zpath, pages_path)  # warm page cache order-independent: same input files
+    r_lo = run_at(lo, zpath, pages_path)
+
+    def eff(t_lo: float, t_hi: float) -> float:
+        return round((t_lo / t_hi) * (lo / hi), 3)
+
+    crawl_eff = eff(r_lo["crawl_sec"], r_hi["crawl_sec"])
+    q_eff = eff(r_lo["queries_sec"], r_hi["queries_sec"])
+    total_lo = r_lo["crawl_sec"] + r_lo["queries_sec"]
+    total_hi = r_hi["crawl_sec"] + r_hi["queries_sec"]
+    result = {
+        "lo": r_lo,
+        "hi": r_hi,
+        "crawl_eff": crawl_eff,
+        "queries_eff": q_eff,
+        "total_eff": eff(total_lo, total_hi),
+        "crawl_urls_per_sec_lo": round(r_lo["crawl_urls"] / r_lo["crawl_sec"], 1),
+        "crawl_urls_per_sec_hi": round(r_hi["crawl_urls"] / r_hi["crawl_sec"], 1),
+    }
+    print(json.dumps(result, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""The fixed scaling workload, launched via spark-submit --py-files.
+
+Runs the identical job at whatever --master the submitter chose:
+  1. frontier crawl over a pre-built synthetic page table
+     (north-star: URLs fetched+deduped)
+  2. a compute-heavy batch query set at $SPARK_GRAFT_SF_DIR
+
+Prints one JSON line {cores, crawl_sec, crawl_urls, queries_sec}.
+tools/bench_scaling.py runs this at two parallelism levels and
+computes the scaling efficiency for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_path = sys.argv[2]
+    state_dir = sys.argv[3]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    spark = (
+        SparkSession.builder.appName(f"scaling_job_{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openalex_collaboration_crawler_spark.sources.pages import (
+        build_politeness,
+        build_seeds,
+    )
+    from openalex_collaboration_crawler_spark.streaming.frontier import CrawlEngine
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    eng = CrawlEngine(
+        spark=spark,
+        state_dir=state_dir,
+        pages_path=pages_path,
+        politeness=build_politeness(spark, 1 << 20, 1 << 20),
+        robots=None,
+        default_per_host=1 << 20,
+        bloom_parts=16,
+    )
+    eng.init_from_seeds(build_seeds(spark, n_pages=n_pages, n_seeds=8))
+    t0 = time.time()
+    metrics = eng.run(max_batches=30)
+    crawl_sec = time.time() - t0
+    crawl_urls = sum(m.get("fetched", 0) + m.get("deduped", 0) for m in metrics)
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from openalex_collaboration_crawler_spark.operators import dedup as DD
+
+    qs = entrymod.queries()
+    repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "16"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big_docs = docs.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(repl)))).select(
+        (F.col("doc_id") * repl + F.col("r")).alias("doc_id"), "text"
+    )
+    t0 = time.time()
+    for name in ("pairwise_edges", "weighted_edges"):
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    DD.minhash_signatures(big_docs).write.format("noop").mode("overwrite").save()
+    DD.simhash(big_docs).write.format("noop").mode("overwrite").save()
+    queries_sec = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "crawl_sec": round(crawl_sec, 2),
+                "crawl_urls": crawl_urls,
+                "queries_sec": round(queries_sec, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
