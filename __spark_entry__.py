@@ -612,6 +612,34 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GS.louvain_communities(w, seed=42)
 
 
+def _q_work_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata_dataset.csv analogue (graph.cpp:389,508-510): work_id,
+    year, num_of_authors, ';'-joined topics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    topics = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("work_id"), F.col("p_type").alias("topic"))
+    )
+    return ED.work_metadata(collab_model(spark, sf_dir), topics)
+
+
+_WORK_METADATA_SQL = f"""
+WITH t AS (
+  SELECT l.l_orderkey AS work_id,
+         array_to_string(list_sort(list_distinct(list(p.p_type))), ';') AS topics
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1
+),
+base AS (
+  SELECT work_id, year, count(DISTINCT author) AS num_of_authors
+  FROM ({COLLAB_MODEL_SQL}) GROUP BY 1, 2
+)
+SELECT base.work_id, base.year, base.num_of_authors,
+       coalesce(t.topics, '') AS topics
+FROM base LEFT JOIN t USING (work_id)
+"""
+
+
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped agg — exercises decimal-exact sums + multi-agg."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -665,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_size_split": _q_community_size_split,
         "topk_pivot": _q_topk_pivot,
         "louvain": _q_louvain,
+        "work_metadata": _q_work_metadata,
     }
 
 
@@ -754,6 +783,7 @@ GROUP BY 1, 2
             k=3,
         ),
         # louvain: no SQL oracle (iterative community detection) — rows-only
+        "work_metadata": _WORK_METADATA_SQL,
     }
 
 

@@ -75,6 +75,24 @@ def test_work_metadata(spark):
     assert got["W2"]["topics"] == ""  # empty topics → empty string
 
 
+def test_split_by_year_retains_year_column(spark, tmp_path):
+    """S8 quirk (§4.3.8): the reference's --split KEEPS the year field
+    in the rows despite its help text; partition dirs per year."""
+    import os
+
+    edges = spark.createDataFrame(
+        [(2020, "W1", "A", "B"), (2021, "W2", "A", "C")],
+        "year int, work_id string, a1 string, a2 string",
+    )
+    out = str(tmp_path / "split")
+    ED.split_by_year(edges, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("y=")}
+    assert dirs == {"y=2020", "y=2021"}
+    back = spark.read.parquet(out)
+    assert "year" in back.columns  # retained inside rows
+    assert back.count() == 2
+
+
 def test_degrees_self_loop_counts_once(spark):
     edges = spark.createDataFrame(
         [("A", "B", 1), ("A", "A", 1)], "author1 string, author2 string, weight long"
