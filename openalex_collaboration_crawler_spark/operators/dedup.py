@@ -77,7 +77,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word-n-gram shingles per doc: (id, shingle)."""
+    """Distinct word-n-gram shingles per doc: (id, shingle).
+
+    The source is parallelism-guarded: a single-file corpus would
+    otherwise run ALL shingling+hashing in one scan task."""
+    from openalex_collaboration_crawler_spark.operators import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(id_col, text_col))
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
         .distinct()

@@ -49,6 +49,9 @@ def brute_force_topk(
 
     Output: (query_id, vec_id, sim, rank) with sim rounded to 6dp at
     the edge (ranking uses the unrounded value)."""
+    from openalex_collaboration_crawler_spark.operators import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     joined = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
@@ -89,6 +92,9 @@ FROM ranked WHERE rank <= {k}
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64, seed: int = 42
 ) -> DataFrame:
+    from openalex_collaboration_crawler_spark.operators import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim, seed))
 
 

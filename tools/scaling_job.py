@@ -67,8 +67,10 @@ def main() -> None:
     qs = entrymod.queries()
     repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "16"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    big_docs = docs.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(repl)))).select(
-        (F.col("doc_id") * repl + F.col("r")).alias("doc_id"), "text"
+    big_docs = (
+        docs.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(repl))))
+        .select((F.col("doc_id") * repl + F.col("r")).alias("doc_id"), "text")
+        .repartition(128)  # identical split at every parallelism level
     )
     t0 = time.time()
     for name in ("pairwise_edges", "weighted_edges"):
