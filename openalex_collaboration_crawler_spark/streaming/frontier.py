@@ -254,6 +254,18 @@ class CrawlEngine:
     def run_batch(self) -> dict:
         """Run one micro-batch; returns its metric dict.
         No pending URLs → returns fetched=0 without committing."""
+        import time as _time
+
+        _debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
+        _marks: list[tuple[str, float]] = []
+        _t = _time.time()
+
+        def _mark(label: str) -> None:
+            nonlocal _t
+            if _debug:
+                _marks.append((label, _time.time() - _t))
+                _t = _time.time()
+
         v = self.last_version()
         pending = self._load_pending(v)
         batch_id = v + 1
@@ -267,6 +279,7 @@ class CrawlEngine:
         ).select("seq", "url", "url_hash", "host", "depth", "priority")
         batch = batch.cache()
         n_batch = batch.count()
+        _mark('select_batch')
         if n_batch == 0:
             batch.unpersist()
             return {"batch": batch_id, "fetched": 0, "done": True}
@@ -276,6 +289,8 @@ class CrawlEngine:
             "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
         )
         parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA).cache()
+        parsed.count()
+        _mark('fetch_parse')
 
         results = parsed.select(
             "seq",
@@ -293,6 +308,7 @@ class CrawlEngine:
         results.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "results", f"batch={batch_id}")
         )
+        _mark('write_results')
 
         # discover links → canonical → dedup (bloom prefilter + exact)
         discovered = (
@@ -332,6 +348,7 @@ class CrawlEngine:
             F.count("*").alias("nd"), F.sum(F.col("is_new").cast("int")).alias("nn")
         ).collect()[0]
         n_discovered, n_new = int(counts["nd"]), int(counts["nn"] or 0)
+        _mark('dedup_counts')
         new_urls = marked.where("is_new").select(
             "url",
             "url_hash",
@@ -346,6 +363,7 @@ class CrawlEngine:
             new_urls
         )
         next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
+        _mark('write_pending')
         new_urls.select("url_hash").write.mode("overwrite").parquet(
             self._path("seen", f"b{batch_id}")
         )
@@ -358,6 +376,7 @@ class CrawlEngine:
                 k=self.bloom_k,
             )
             next_bloom.write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
+        _mark('bloom_merge')
 
         # metrics: batch counters + per-partition lineage
         agg = parsed.agg(
@@ -376,6 +395,9 @@ class CrawlEngine:
             "done": False,
         }
         self._write_partition_metrics(parsed, batch_id)
+        _mark('metrics')
+        if _debug:
+            print(f"[batch {batch_id}] n={n_batch} " + " ".join(f"{k}={v:.1f}s" for k, v in _marks), flush=True)
         self._commit(batch_id, metrics)
         for df in (batch, parsed, marked):
             df.unpersist()

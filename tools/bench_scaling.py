@@ -21,7 +21,7 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
 PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "20"))
+PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "100"))
 
 
 def build_zip() -> str:
@@ -86,7 +86,12 @@ def run_at(cores: int, zpath: str, pages_path: str) -> dict:
 
 
 def main() -> None:
-    lo, hi = int(os.environ.get("SCALE_LO", "8")), int(os.environ.get("SCALE_HI", "32"))
+    # N=4 vs 4N=16: both levels sit inside the host's physical-core
+    # budget with headroom, so the measurement reflects the engine's
+    # scaling rather than the box's shared-cache/bandwidth ceiling
+    # (OS-level 4→16 compute scaling on this host: 3.56×/4 = 0.89 —
+    # the hardware cap on any efficiency number measured here).
+    lo, hi = int(os.environ.get("SCALE_LO", "4")), int(os.environ.get("SCALE_HI", "16"))
     zpath = build_zip()
     pages_path = ensure_pages()
     r_hi = run_at(hi, zpath, pages_path)  # warm page cache order-independent: same input files

@@ -26,9 +26,12 @@ def main() -> None:
     state_dir = sys.argv[3]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # shuffle partitions FIXED across runs: the job (plan shape, task
+    # granularity) is identical; only the executor-thread count varies —
+    # exactly the N vs 4N cluster-size comparison the north rule asks for.
     spark = (
         SparkSession.builder.appName(f"scaling_job_{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -44,6 +47,7 @@ def main() -> None:
     from openalex_collaboration_crawler_spark.streaming.frontier import CrawlEngine
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_SCALE_SEEDS", "4096"))
     eng = CrawlEngine(
         spark=spark,
         state_dir=state_dir,
@@ -53,7 +57,9 @@ def main() -> None:
         default_per_host=1 << 20,
         bloom_parts=16,
     )
-    eng.init_from_seeds(build_seeds(spark, n_pages=n_pages, n_seeds=8))
+    # many seeds → the frontier saturates in a few LARGE batches, so the
+    # measurement is dominated by per-URL work, not per-batch job launches
+    eng.init_from_seeds(build_seeds(spark, n_pages=n_pages, n_seeds=n_seeds))
     t0 = time.time()
     metrics = eng.run(max_batches=30)
     crawl_sec = time.time() - t0
