@@ -151,6 +151,11 @@ class CrawlEngine:
     bloom_m_bits: int = 1 << 20
     bloom_k: int = 5
     use_bloom: bool = True
+    # below this seen-set size the Bloom machinery costs more in job
+    # launches than it saves in shuffle — use one exact join instead.
+    # At 10^10 the threshold is crossed in the first batches and the
+    # Bloom path (built lazily at the crossing) takes over.
+    bloom_min_seen: int = 2_000_000
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------ state io
@@ -180,6 +185,29 @@ class CrawlEngine:
 
     def _load_bloom(self, version: int) -> DataFrame:
         return self.spark.read.schema(BLOOM_SCHEMA).parquet(self._path("bloom", f"v{version}"))
+
+    def _ensure_bloom(self, version: int, seen_union: DataFrame) -> DataFrame:
+        """Blobs for this version — built ONCE from the full seen union
+        when the engine first crosses into bloom mode (earlier batches
+        ran the exact-join path and kept no blobs)."""
+        path = self._path("bloom", f"v{version}")
+        if not os.path.isdir(path):
+            merge_bloom_tables(
+                None,
+                seen_union,
+                n_parts=self.bloom_parts,
+                m_bits=self.bloom_m_bits,
+                k=self.bloom_k,
+            ).write.mode("overwrite").parquet(path)
+        return self._load_bloom(version)
+
+    def _read_commit(self, version: int) -> dict:
+        path = os.path.join(self._commit_dir(), f"{version}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except OSError:
+            return {}
 
     def _commit(self, version: int, payload: dict) -> None:
         os.makedirs(self._commit_dir(), exist_ok=True)
@@ -214,15 +242,8 @@ class CrawlEngine:
         )
         pending.write.mode("overwrite").parquet(self._path("pending", "v0"))
         pending.select("url_hash").write.mode("overwrite").parquet(self._path("seen", "b0"))
-        bloom = merge_bloom_tables(
-            None,
-            pending.select("url_hash"),
-            n_parts=self.bloom_parts,
-            m_bits=self.bloom_m_bits,
-            k=self.bloom_k,
-        )
-        bloom.write.mode("overwrite").parquet(self._path("bloom", "v0"))
-        self._commit(0, {"batch": -1, "note": "seeded"})
+        n_seeds = self.spark.read.parquet(self._path("seen", "b0")).count()
+        self._commit(0, {"batch": -1, "note": "seeded", "seen_rows": int(n_seeds)})
 
     # -------------------------------------------------------------- pages
 
@@ -329,18 +350,21 @@ class CrawlEngine:
         )
 
         seen_union = self._load_seen_union(v)
-        if self.use_bloom:
-            bloom = self._load_bloom(v).cache()
+        seen_rows = int(self._read_commit(v).get("seen_rows", 0))
+        bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
+        if bloom_mode:
+            bloom = self._ensure_bloom(v, seen_union).cache()
             marked = mark_new_against_seen(
                 discovered, seen_union, bloom, n_parts=self.bloom_parts
             ).cache()
         else:
+            # small seen set: ONE co-partitioned join beats the Bloom
+            # machinery's serial broadcast/python job launches
             bloom = None
-            matched = seen_union.join(
-                F.broadcast(discovered.select("url_hash")), "url_hash", "left_semi"
-            ).withColumn("__m", F.lit(1))
             marked = (
-                discovered.join(F.broadcast(matched), "url_hash", "left")
+                discovered.join(
+                    seen_union.withColumn("__m", F.lit(1)), "url_hash", "left"
+                )
                 .withColumn("is_new", F.col("__m").isNull())
                 .drop("__m")
             ).cache()
@@ -367,7 +391,7 @@ class CrawlEngine:
         new_urls.select("url_hash").write.mode("overwrite").parquet(
             self._path("seen", f"b{batch_id}")
         )
-        if self.use_bloom:
+        if bloom_mode:
             next_bloom = merge_bloom_tables(
                 bloom,
                 new_urls.select("url_hash"),
@@ -392,6 +416,8 @@ class CrawlEngine:
             "discovered": int(n_discovered),
             "new_urls": int(n_new),
             "deduped": int(n_discovered - n_new),
+            "seen_rows": seen_rows + int(n_new),
+            "bloom_mode": bloom_mode,
             "done": False,
         }
         self._write_partition_metrics(parsed, batch_id)

@@ -140,6 +140,17 @@ def test_bloom_off_same_result(spark, world, oracle_run):
     assert eng.seen_hashes() == oracle_run.seen
 
 
+def test_bloom_forced_same_result(spark, world, oracle_run):
+    """Force the Bloom path from batch 1 (bloom_min_seen=0) — the
+    adaptive dedup strategy must be output-invariant."""
+    eng = _mk_engine(spark, world, "engine_bloom_forced", bloom_min_seen=0)
+    eng.init_from_seeds(world["seeds"])
+    metrics = eng.run(max_batches=50)
+    assert any(m.get("bloom_mode") for m in metrics if m.get("fetched"))
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
 def test_robots_blocked_never_fetched(engine_run, spark):
     eng, _ = engine_run
     fetched_urls = [r["url"] for r in eng.results().select("url").collect()]
