@@ -310,7 +310,8 @@ class CrawlEngine:
             "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
         )
         parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA).cache()
-        parsed.count()
+        if _debug:
+            parsed.count()
         _mark('fetch_parse')
 
         results = parsed.select(

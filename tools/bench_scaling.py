@@ -20,8 +20,8 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
-PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "100"))
+PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
+PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "50"))
 
 
 def build_zip() -> str:
