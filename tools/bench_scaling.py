@@ -21,7 +21,10 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
 PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
-PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "50"))
+# ~Common-Crawl-realistic uncompressed page size (~50 KB of body text);
+# gzip compresses the synthetic repetition away, but decode/parse work
+# scales with the UNCOMPRESSED bytes — which is what a real crawl pays.
+PAYLOAD_REPEAT = int(os.environ.get("SPARK_GRAFT_PAYLOAD_REPEAT", "400"))
 
 
 def build_zip() -> str:
@@ -94,7 +97,11 @@ def main() -> None:
     lo, hi = int(os.environ.get("SCALE_LO", "4")), int(os.environ.get("SCALE_HI", "16"))
     zpath = build_zip()
     pages_path = ensure_pages()
-    r_hi = run_at(hi, zpath, pages_path)  # warm page cache order-independent: same input files
+    # run each level twice, keep the second: first run absorbs the OS
+    # page-cache warmup for the input table (identical for both levels)
+    run_at(hi, zpath, pages_path)
+    r_hi = run_at(hi, zpath, pages_path)
+    run_at(lo, zpath, pages_path)
     r_lo = run_at(lo, zpath, pages_path)
 
     def eff(t_lo: float, t_hi: float) -> float:

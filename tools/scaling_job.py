@@ -40,6 +40,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JIT/codegen + python-worker spawn happen before the clock
+    from pyspark.sql import functions as _F
+
+    spark.range(1 << 20).select(_F.md5(_F.col("id").cast("string"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(1000).toPandas()
+
     from openalex_collaboration_crawler_spark.sources.pages import (
         build_politeness,
         build_seeds,
