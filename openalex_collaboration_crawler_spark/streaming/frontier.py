@@ -327,10 +327,6 @@ class CrawlEngine:
             "text_match",
             F.lit(batch_id).alias("batch_id"),
         )
-        results.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "results", f"batch={batch_id}")
-        )
-        _mark('write_results')
 
         # discover links → canonical → dedup (bloom prefilter + exact)
         discovered = (
@@ -369,11 +365,6 @@ class CrawlEngine:
                 .withColumn("is_new", F.col("__m").isNull())
                 .drop("__m")
             ).cache()
-        counts = marked.agg(
-            F.count("*").alias("nd"), F.sum(F.col("is_new").cast("int")).alias("nn")
-        ).collect()[0]
-        n_discovered, n_new = int(counts["nd"]), int(counts["nn"] or 0)
-        _mark('dedup_counts')
         new_urls = marked.where("is_new").select(
             "url",
             "url_hash",
@@ -382,33 +373,71 @@ class CrawlEngine:
             "priority",
             F.lit(batch_id).cast("int").alias("batch_enqueued"),
         )
-
-        # commit state: pending shrinks by the batch, grows by the new
+        # pending shrinks by the batch, grows by the new
         next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
             new_urls
         )
-        next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
-        _mark('write_pending')
-        new_urls.select("url_hash").write.mode("overwrite").parquet(
-            self._path("seen", f"b{batch_id}")
-        )
-        if bloom_mode:
-            next_bloom = merge_bloom_tables(
-                bloom,
-                new_urls.select("url_hash"),
-                n_parts=self.bloom_parts,
-                m_bits=self.bloom_m_bits,
-                k=self.bloom_k,
-            )
-            next_bloom.write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
-        _mark('bloom_merge')
 
-        # metrics: batch counters + per-partition lineage
-        agg = parsed.agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
-            F.sum(F.col("text_match").cast("int")).alias("text_match"),
-        ).collect()[0]
+        # All commit outputs are independent given the cached parsed /
+        # marked plans — submit them as CONCURRENT Spark jobs (Spark's
+        # scheduler is thread-safe; cache locking dedups any shared
+        # upstream materialization), so wall time per batch is the max
+        # of the jobs, not their sum. The _commits marker is still
+        # written strictly last = the atomic commit point.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def j_results():
+            results.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "results", f"batch={batch_id}")
+            )
+
+        def j_counts():
+            row = marked.agg(
+                F.count("*").alias("nd"), F.sum(F.col("is_new").cast("int")).alias("nn")
+            ).collect()[0]
+            return int(row["nd"]), int(row["nn"] or 0)
+
+        def j_pending():
+            next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
+
+        def j_seen():
+            new_urls.select("url_hash").write.mode("overwrite").parquet(
+                self._path("seen", f"b{batch_id}")
+            )
+
+        def j_bloom():
+            if bloom_mode:
+                merge_bloom_tables(
+                    bloom,
+                    new_urls.select("url_hash"),
+                    n_parts=self.bloom_parts,
+                    m_bits=self.bloom_m_bits,
+                    k=self.bloom_k,
+                ).write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
+
+        def j_agg():
+            return parsed.agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
+                F.sum(F.col("text_match").cast("int")).alias("text_match"),
+            ).collect()[0]
+
+        def j_part_metrics():
+            self._write_partition_metrics(parsed, batch_id)
+
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            f_counts = pool.submit(j_counts)
+            f_agg = pool.submit(j_agg)
+            futures = [
+                pool.submit(j)
+                for j in (j_results, j_pending, j_seen, j_bloom, j_part_metrics)
+            ]
+            n_discovered, n_new = f_counts.result()
+            agg = f_agg.result()
+            for f in futures:
+                f.result()
+        _mark('commit_jobs')
+
         metrics = {
             "batch": batch_id,
             "fetched": int(agg["fetched"]),
@@ -421,8 +450,6 @@ class CrawlEngine:
             "bloom_mode": bloom_mode,
             "done": False,
         }
-        self._write_partition_metrics(parsed, batch_id)
-        _mark('metrics')
         if _debug:
             print(f"[batch {batch_id}] n={n_batch} " + " ".join(f"{k}={v:.1f}s" for k, v in _marks), flush=True)
         self._commit(batch_id, metrics)

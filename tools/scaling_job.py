@@ -55,7 +55,7 @@ def main() -> None:
     from openalex_collaboration_crawler_spark.streaming.frontier import CrawlEngine
 
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
-    n_seeds = int(os.environ.get("SPARK_GRAFT_SCALE_SEEDS", "16384"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_SCALE_SEEDS", "65536"))
     eng = CrawlEngine(
         spark=spark,
         state_dir=state_dir,
