@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=400"
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -69,6 +69,11 @@ def run_at(cores: int, zpath: str, pages_path: str) -> dict:
         f"local[{cores}]",
         "--driver-memory",
         "24g",
+        # hash-heavy codegen allocates hard; default G1 pause targets
+        # throttle high-thread local JVMs (cluster executors each have
+        # their own heap and don't hit this)
+        "--driver-java-options",
+        "-XX:+UseG1GC -XX:MaxGCPauseMillis=400",
         "--py-files",
         zpath,
         os.path.join(REPO, "tools", "scaling_job.py"),
