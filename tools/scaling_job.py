@@ -73,13 +73,11 @@ def main() -> None:
     crawl_sec = time.time() - t0
     crawl_urls = sum(m.get("fetched", 0) + m.get("deduped", 0) for m in metrics)
 
-    import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
 
     from openalex_collaboration_crawler_spark.operators import dedup as DD
 
-    qs = entrymod.queries()
-    repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "16"))
+    repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "32"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     big_docs = (
         docs.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(repl))))
@@ -87,8 +85,6 @@ def main() -> None:
         .repartition(128)  # identical split at every parallelism level
     )
     t0 = time.time()
-    for name in ("pairwise_edges", "weighted_edges"):
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     DD.minhash_signatures(big_docs).write.format("noop").mode("overwrite").save()
     DD.simhash(big_docs).write.format("noop").mode("overwrite").save()
     queries_sec = time.time() - t0
