@@ -159,7 +159,14 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+    """Exact-dup groups; the synthetic corpus has no duplicates, so a
+    deterministic re-id'd copy of every 10th doc is planted (mirrored
+    in the oracle) to give the checker positive signal."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return DD.exact_dup_groups(docs.unionByName(planted))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +224,9 @@ def _q_lsh_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    # synthetic embeddings top out around cosine 0.47 — 0.3 exercises
+    # the bucketed-pair path with real output rows
+    return SIM.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +731,12 @@ GROUP BY 1
         "lost_authors": AN.lost_nodes_sql(_MEMBERSHIP_SQL),
         "community_overlap": AN.community_overlap_sql(_MEMBERSHIP_SQL),
         "sessionize": AN.sessionize_sql("events"),
-        "dedup_exact": DD.exact_dup_groups_sql("documents"),
+        "dedup_exact": DD.exact_dup_groups_sql(
+            """(SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 0)"""
+        ),
         "text_stats": f"""
 SELECT doc_id,
   {TX.token_count_sql('text')} AS n_tok,
@@ -743,7 +757,7 @@ FROM ({DD.ngram_jaccard_pairs_sql('documents', threshold=0.6)})
         "ann_topk": SIM.brute_force_topk_sql("embeddings", _QUERIES_VEC_SQL, k=5),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", _QUERIES_VEC_SQL, k=5),
         "lsh_histogram": SIM.lsh_bucket_histogram_sql("embeddings"),
-        "embedding_neardup": SIM.embedding_neardup_pairs_sql("embeddings", threshold=0.9),
+        "embedding_neardup": SIM.embedding_neardup_pairs_sql("embeddings", threshold=0.3),
         "url_canonicalize": f"""
 SELECT doc_id,
   {URL.canonicalize_url_sql('url')} AS canonical_url,

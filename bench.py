@@ -69,7 +69,9 @@ def crawl_bench(spark, workdir: str) -> tuple[float, float, int]:
         default_per_host=1 << 20,
         bloom_parts=16,
     )
-    eng.init_from_seeds(build_seeds(spark, n_pages=CRAWL_PAGES, n_seeds=8))
+    # enough seeds that the frontier saturates in a few large batches —
+    # measures per-URL throughput, not per-batch job-launch latency
+    eng.init_from_seeds(build_seeds(spark, n_pages=CRAWL_PAGES, n_seeds=1024))
     t0 = time.time()
     metrics = eng.run(max_batches=30)
     dt = time.time() - t0
