@@ -113,7 +113,7 @@ def _q_topk_parts_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.year("o_orderdate").alias("year"), F.col("p_type").alias("topic"))
+        .select(F.year("o_orderdate").cast("long").alias("year"), F.col("p_type").alias("topic"))
     )
     return AN.topk_per_group(df, "year", "topic", k=5)
 
@@ -499,7 +499,9 @@ def _pending_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_politeness_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending = _pending_urls(spark, sf_dir)
     politeness = pending.select("host").distinct().withColumn("max_per_batch", F.lit(3))
-    return select_batch(pending, politeness).select("seq", "url", "host", "depth", "priority")
+    return select_batch(pending, politeness).select(
+        F.col("seq").cast("long").alias("seq"), "url", "host", "depth", "priority"
+    )
 
 
 _POLITENESS_SQL = f"""
@@ -608,7 +610,7 @@ def _q_topk_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.year("o_orderdate").alias("year"), F.col("p_type").alias("topic"))
+        .select(F.year("o_orderdate").cast("long").alias("year"), F.col("p_type").alias("topic"))
     )
     return AN.topk_pivot(df, "year", "topic", k=3)
 

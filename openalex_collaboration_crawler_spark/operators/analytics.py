@@ -97,7 +97,9 @@ def ccdf(edges: DataFrame, a_col: str = "author1", b_col: str = "author2") -> Da
     the (small) degree histogram — the heavy agg happens first."""
     hist = degrees(edges, a_col, b_col).groupBy("degree").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.desc("degree")).rowsBetween(Window.unboundedPreceding, 0)
-    return hist.select("degree", F.sum("n").over(w).alias("n_ge")).orderBy("degree")
+    return hist.select(
+        "degree", F.sum("n").over(w).cast("long").alias("n_ge")
+    ).orderBy("degree")
 
 
 def ccdf_sql(edges_sql: str, a_col: str = "author1", b_col: str = "author2") -> str:
@@ -106,7 +108,8 @@ def ccdf_sql(edges_sql: str, a_col: str = "author1", b_col: str = "author2") -> 
 WITH d AS ({d}),
 hist AS (SELECT degree, count(*) AS n FROM d GROUP BY degree)
 SELECT degree,
-       sum(n) OVER (ORDER BY degree DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge
+       CAST(sum(n) OVER (ORDER BY degree DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge
 FROM hist ORDER BY degree
 """
 
@@ -316,7 +319,7 @@ def community_size_split(
         "sz",
     )
     return labeled.groupBy("community_label").agg(
-        F.sum("sz").alias("n_nodes"), F.count("*").alias("n_communities")
+        F.sum("sz").cast("long").alias("n_nodes"), F.count("*").alias("n_communities")
     )
 
 
@@ -334,7 +337,8 @@ labeled AS (
            AS community_label, s.sz
   FROM sizes s, thr
 )
-SELECT community_label, sum(sz) AS n_nodes, count(*) AS n_communities
+SELECT community_label, CAST(sum(sz) AS BIGINT) AS n_nodes,
+       count(*) AS n_communities
 FROM labeled GROUP BY 1
 """
 
@@ -476,8 +480,8 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end

@@ -43,8 +43,9 @@ def collab_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # year as long — matches the DuckDB oracle's year() (BIGINT)
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year("o_orderdate").alias("year")
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("year")
     )
     return (
         li.distinct()

@@ -42,6 +42,14 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
         errs.append(f"columns spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}")
         return errs
     a, b = normalize(sdf), normalize(ddf)
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        # datetime64 resolution (ns vs us) is a pandas artifact, not a
+        # schema difference
+        if da.startswith("datetime64") and db.startswith("datetime64"):
+            continue
+        if da != db:
+            errs.append(f"dtype {c}: spark={da} duckdb={db}")
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
