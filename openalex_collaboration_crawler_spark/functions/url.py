@@ -42,7 +42,15 @@ def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
 
 
 def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL; non-absolute inputs (relative links, mailto:,
+    malformed) pass through UNCHANGED — without the guard every
+    non-matching URL would canonicalize to the same ``':///'`` string
+    and one shared hash, corrupting the seen set on any real corpus."""
     url = F.col(col) if isinstance(col, str) else col
+    return F.when(url.rlike(_URL_RX), _canonicalize_matched(url)).otherwise(url)
+
+
+def _canonicalize_matched(url: Column) -> Column:
     scheme, authority, path, query = _parts(url)
     host = (
         F.when(
@@ -63,7 +71,8 @@ def canonicalize_url(col: Column | str) -> Column:
 
 
 def canonicalize_url_sql(expr: str) -> str:
-    """DuckDB SQL computing the identical canonical URL string."""
+    """DuckDB SQL computing the identical canonical URL string
+    (including the non-matching-URL passthrough guard)."""
     rx = _URL_RX
     scheme = f"lower(regexp_extract({expr}, '{rx}', 1))"
     auth = f"lower(regexp_extract({expr}, '{rx}', 2))"
@@ -78,7 +87,8 @@ def canonicalize_url_sql(expr: str) -> str:
     norm_path = f"CASE WHEN {trimmed} = '' THEN '/' ELSE {trimmed} END"
     sorted_q = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
     q_suffix = f"CASE WHEN {sorted_q} = '' THEN '' ELSE '?' || {sorted_q} END"
-    return f"({scheme} || '://' || {host} || {norm_path} || {q_suffix})"
+    canon = f"({scheme} || '://' || {host} || {norm_path} || {q_suffix})"
+    return f"(CASE WHEN regexp_matches({expr}, '{rx}') THEN {canon} ELSE {expr} END)"
 
 
 def url_host(col: Column | str) -> Column:

@@ -97,12 +97,22 @@ def build_pages(
     without touching the goldens."""
     base = spark.range(n_pages).withColumnRenamed("id", "i")
     i = F.col("i")
-    links = F.array(
+    abs_links = F.array(
         *[
             page_url(t)
             for t in _link_targets(i, n_pages)
         ]
     )
+    # every 13th page also carries a non-absolute link (relative path /
+    # mailto:) — exercises the canonicalizer's malformed-URL
+    # passthrough guard end-to-end (such links enqueue as distinct
+    # never-fetchable frontier entries, exactly like the oracle)
+    messy_link = F.when(
+        i % 13 == 5, F.array(F.concat(F.lit("/relative/res-"), i.cast("string")))
+    ).when(i % 13 == 9, F.array(F.lit("mailto:author@example.org"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    links = F.concat(abs_links, messy_link)
     canon = base.select(
         i,
         page_url(i).alias("url"),

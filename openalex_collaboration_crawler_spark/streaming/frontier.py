@@ -67,7 +67,11 @@ from openalex_collaboration_crawler_spark.functions.url import (
     url_hash,
     url_host,
 )
-from openalex_collaboration_crawler_spark.streaming.politeness import select_batch
+from openalex_collaboration_crawler_spark.streaming.politeness import (
+    robots_filter,
+    select_batch,
+    with_robots_blocked,
+)
 from openalex_collaboration_crawler_spark.streaming.seen import (
     mark_new_against_seen,
     merge_bloom_tables,
@@ -156,6 +160,12 @@ class CrawlEngine:
     # At 10^10 the threshold is crossed in the first batches and the
     # Bloom path (built lazily at the crossing) takes over.
     bloom_min_seen: int = 2_000_000
+    # above this many discovered-per-batch (from the PREVIOUS batch's
+    # committed metrics — zero extra jobs), the bloom-survivor exact
+    # check switches from broadcast joins to co-partitioned shuffle
+    # joins: a recrawl-heavy batch at 10^10 scale can push tens of
+    # millions of maybe-seen survivors, which must never be broadcast.
+    survivor_broadcast_limit: int = 2_000_000
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
 
     # ------------------------------------------------------------ state io
@@ -222,13 +232,18 @@ class CrawlEngine:
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """v0: pending = canonicalized seeds (priority from the seed
         list, depth 0); seen delta b0 = their hashes; bloom v0 over
-        them. Duplicate seeds collapse to max priority."""
+        them. Duplicate seeds collapse to max priority.
+
+        Robots-blocked seeds enter the SEEN set but not the pending
+        queue (they can never be fetched; the oracle filters them at
+        select time forever — observably identical, but this way the
+        tracked pending count drains to exactly 0 at crawl end)."""
         if os.path.isdir(self.state_dir):
             shutil.rmtree(self.state_dir)
         canon = seeds.select(
             canonicalize_url("url").alias("url"), F.col("priority").cast("int").alias("priority")
         )
-        pending = (
+        all_seeds = (
             canon.groupBy("url")
             .agg(F.max("priority").alias("priority"))
             .select(
@@ -240,10 +255,22 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("batch_enqueued"),
             )
         )
+        pending = all_seeds if self.robots is None else robots_filter(all_seeds, self.robots)
         pending.write.mode("overwrite").parquet(self._path("pending", "v0"))
-        pending.select("url_hash").write.mode("overwrite").parquet(self._path("seen", "b0"))
-        n_seeds = self.spark.read.parquet(self._path("seen", "b0")).count()
-        self._commit(0, {"batch": -1, "note": "seeded", "seen_rows": int(n_seeds)})
+        all_seeds.select("url_hash").write.mode("overwrite").parquet(self._path("seen", "b0"))
+        n_seen = self.spark.read.parquet(self._path("seen", "b0")).count()
+        n_pending = self.spark.read.schema(PENDING_SCHEMA).parquet(
+            self._path("pending", "v0")
+        ).count()
+        self._commit(
+            0,
+            {
+                "batch": -1,
+                "note": "seeded",
+                "seen_rows": int(n_seen),
+                "pending_rows": int(n_pending),
+            },
+        )
 
     # -------------------------------------------------------------- pages
 
@@ -274,45 +301,41 @@ class CrawlEngine:
 
     def run_batch(self) -> dict:
         """Run one micro-batch; returns its metric dict.
-        No pending URLs → returns fetched=0 without committing."""
+
+        The committed ``pending_rows`` counter (prev − fetched + kept)
+        detects a drained frontier with ZERO Spark jobs, and every
+        per-batch metric is an aggregation folded into the single
+        concurrent commit wave — there is no serial driver round-trip
+        left in the loop (the round-trips were the measured per-batch
+        scaling floor; see BENCH/BASELINE.md §2.2)."""
         import time as _time
 
         _debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
-        _marks: list[tuple[str, float]] = []
-        _t = _time.time()
-
-        def _mark(label: str) -> None:
-            nonlocal _t
-            if _debug:
-                _marks.append((label, _time.time() - _t))
-                _t = _time.time()
+        _t0 = _time.time()
 
         v = self.last_version()
-        pending = self._load_pending(v)
+        prev = self._read_commit(v)
         batch_id = v + 1
+        if prev.get("pending_rows") == 0:
+            return {"batch": batch_id, "fetched": 0, "done": True}
+        pending = self._load_pending(v)
 
+        pending_prev = prev.get("pending_rows")
         batch = select_batch(
             pending,
             self.politeness,
             self.robots,
             batch_cap=self.batch_cap,
             default_per_host=self.default_per_host,
+            est_rows=int(pending_prev) if pending_prev is not None else None,
         ).select("seq", "url", "url_hash", "host", "depth", "priority")
         batch = batch.cache()
-        n_batch = batch.count()
-        _mark('select_batch')
-        if n_batch == 0:
-            batch.unpersist()
-            return {"batch": batch_id, "fetched": 0, "done": True}
 
         # fetch + decode + parse (one shuffle: join on canonical url)
         fetched = batch.join(self._pages(), batch.url == F.col("canonical_url"), "left").select(
             "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
         )
         parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA).cache()
-        if _debug:
-            parsed.count()
-        _mark('fetch_parse')
 
         results = parsed.select(
             "seq",
@@ -328,7 +351,11 @@ class CrawlEngine:
             F.lit(batch_id).alias("batch_id"),
         )
 
-        # discover links → canonical → dedup (bloom prefilter + exact)
+        # discover links → canonical → dedup (bloom prefilter + exact).
+        # Robots-blocked discoveries enter SEEN (never re-considered)
+        # but not PENDING (they can never be fetched) — observably
+        # identical to filtering at select time, and it keeps the
+        # pending_rows counter exact.
         discovered = (
             parsed.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
             .select(
@@ -345,14 +372,31 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("priority"),
             )
         )
+        if self.robots is not None:
+            discovered = with_robots_blocked(discovered, self.robots, "__blocked")
+        else:
+            discovered = discovered.withColumn("__blocked", F.lit(False))
 
         seen_union = self._load_seen_union(v)
-        seen_rows = int(self._read_commit(v).get("seen_rows", 0))
+        seen_rows = int(prev.get("seen_rows", 0))
         bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
         if bloom_mode:
             bloom = self._ensure_bloom(v, seen_union).cache()
+            # survivor-set size is bounded by last batch's discovered
+            # count — choose the join strategy from committed metrics
+            # (no extra job): broadcast when small, shuffle when a
+            # recrawl-heavy batch could OOM the broadcast.
+            survivor_join = (
+                "shuffle"
+                if int(prev.get("discovered", 0)) > self.survivor_broadcast_limit
+                else "broadcast"
+            )
             marked = mark_new_against_seen(
-                discovered, seen_union, bloom, n_parts=self.bloom_parts
+                discovered,
+                seen_union,
+                bloom,
+                n_parts=self.bloom_parts,
+                survivor_join=survivor_join,
             ).cache()
         else:
             # small seen set: ONE co-partitioned join beats the Bloom
@@ -365,37 +409,67 @@ class CrawlEngine:
                 .withColumn("is_new", F.col("__m").isNull())
                 .drop("__m")
             ).cache()
-        new_urls = marked.where("is_new").select(
-            "url",
-            "url_hash",
-            "host",
-            "depth",
-            "priority",
+        enqueue_cols = [
+            F.col("url"),
+            F.col("url_hash"),
+            F.col("host"),
+            F.col("depth"),
+            F.col("priority"),
             F.lit(batch_id).cast("int").alias("batch_enqueued"),
-        )
-        # pending shrinks by the batch, grows by the new
+        ]
+        new_urls = marked.where("is_new").select(*enqueue_cols)
+        new_pending = marked.where(F.col("is_new") & ~F.col("__blocked")).select(*enqueue_cols)
+        # pending shrinks by the batch, grows by the new fetchable urls
         next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
-            new_urls
+            new_pending
         )
 
-        # All commit outputs are independent given the cached parsed /
-        # marked plans — submit them as CONCURRENT Spark jobs (Spark's
-        # scheduler is thread-safe; cache locking dedups any shared
-        # upstream materialization), so wall time per batch is the max
-        # of the jobs, not their sum. The _commits marker is still
-        # written strictly last = the atomic commit point.
+        # Job structure per batch (measured — see BENCH/BASELINE.md):
+        #  1. ONE metrics aggregation materializes the batch+parsed
+        #     caches and returns the fetch counters,
+        #  2. ONE dedup aggregation materializes the marked cache,
+        #  3. then all state writes run as CONCURRENT Spark jobs over
+        #     pure cache reads (wall time = max, not sum).
+        # Caches must be materialized by exactly one job each BEFORE
+        # fan-out: concurrent jobs racing on an unmaterialized cache
+        # each re-execute the shuffle stages BELOW the cache point
+        # (partition-level cache locking dedups only the final RDD),
+        # which measured ~3× slower than this serial-then-fan-out
+        # shape. The _commits marker is still written strictly last =
+        # the atomic commit point.
         from concurrent.futures import ThreadPoolExecutor
+
+        def timed(fn):
+            if not _debug:
+                return fn
+
+            def wrapper():
+                t = _time.time()
+                out = fn()
+                print(f"  [batch {batch_id}] {fn.__name__}: {_time.time() - t:.2f}s", flush=True)
+                return out
+
+            return wrapper
+
+        def j_agg():
+            return parsed.agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
+                F.sum(F.col("text_match").cast("int")).alias("text_match"),
+            ).collect()[0]
+
+        def j_counts():
+            row = marked.agg(
+                F.count("*").alias("nd"),
+                F.sum(F.col("is_new").cast("int")).alias("nn"),
+                F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("kept"),
+            ).collect()[0]
+            return int(row["nd"]), int(row["nn"] or 0), int(row["kept"] or 0)
 
         def j_results():
             results.write.mode("overwrite").parquet(
                 os.path.join(self.state_dir, "results", f"batch={batch_id}")
             )
-
-        def j_counts():
-            row = marked.agg(
-                F.count("*").alias("nd"), F.sum(F.col("is_new").cast("int")).alias("nn")
-            ).collect()[0]
-            return int(row["nd"]), int(row["nn"] or 0)
 
         def j_pending():
             next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
@@ -415,48 +489,57 @@ class CrawlEngine:
                     k=self.bloom_k,
                 ).write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
 
-        def j_agg():
-            return parsed.agg(
-                F.count("*").alias("fetched"),
-                F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
-                F.sum(F.col("text_match").cast("int")).alias("text_match"),
-            ).collect()[0]
-
         def j_part_metrics():
             self._write_partition_metrics(parsed, batch_id)
 
-        with ThreadPoolExecutor(max_workers=7) as pool:
-            f_counts = pool.submit(j_counts)
-            f_agg = pool.submit(j_agg)
-            futures = [
-                pool.submit(j)
-                for j in (j_results, j_pending, j_seen, j_bloom, j_part_metrics)
-            ]
-            n_discovered, n_new = f_counts.result()
-            agg = f_agg.result()
-            for f in futures:
+        agg = timed(j_agg)()
+        n_fetched = int(agg["fetched"])
+        if n_fetched == 0:
+            # nothing eligible (e.g. legacy state with robots-blocked
+            # pending rows): leave the last commit in place
+            for df in (batch, parsed, marked):
+                df.unpersist()
+            if bloom is not None:
+                bloom.unpersist()
+            return {"batch": batch_id, "fetched": 0, "done": True}
+        # wave 1: the dedup aggregation (materializes `marked`) overlaps
+        # with the parsed-only writes; wave 2: the writes that read the
+        # now-cached `marked`.
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_counts = pool.submit(timed(j_counts))
+            wave1 = [pool.submit(timed(j)) for j in (j_results, j_part_metrics)]
+            n_discovered, n_new, n_kept = f_counts.result()
+            wave2 = [pool.submit(timed(j)) for j in (j_pending, j_seen, j_bloom)]
+            for f in wave1 + wave2:
                 f.result()
-        _mark('commit_jobs')
 
+        for df in (batch, parsed, marked):
+            df.unpersist()
+        if bloom is not None:
+            bloom.unpersist()
+
+        pending_rows = (
+            int(pending_prev) - n_fetched + n_kept if pending_prev is not None else None
+        )
         metrics = {
             "batch": batch_id,
-            "fetched": int(agg["fetched"]),
+            "fetched": n_fetched,
             "parsed_ok": int(agg["parsed_ok"] or 0),
             "text_match": int(agg["text_match"] or 0),
             "discovered": int(n_discovered),
             "new_urls": int(n_new),
             "deduped": int(n_discovered - n_new),
             "seen_rows": seen_rows + int(n_new),
+            "pending_rows": pending_rows,
             "bloom_mode": bloom_mode,
-            "done": False,
+            "done": pending_rows == 0,
         }
         if _debug:
-            print(f"[batch {batch_id}] n={n_batch} " + " ".join(f"{k}={v:.1f}s" for k, v in _marks), flush=True)
+            print(
+                f"[batch {batch_id}] fetched={n_fetched} wall={_time.time() - _t0:.1f}s",
+                flush=True,
+            )
         self._commit(batch_id, metrics)
-        for df in (batch, parsed, marked):
-            df.unpersist()
-        if bloom is not None:
-            bloom.unpersist()
         return metrics
 
     def _write_partition_metrics(self, parsed: DataFrame, batch_id: int) -> None:

@@ -33,9 +33,12 @@ def frontier_order() -> list:
     return [F.asc("depth"), F.desc("priority"), F.asc("url_hash")]
 
 
-def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose URL path starts with a disallowed prefix
-    for its host. ``candidates`` must carry (url, host)."""
+def with_robots_blocked(
+    candidates: DataFrame, robots: DataFrame, flag: str = "robots_blocked"
+) -> DataFrame:
+    """Adds a boolean ``flag`` column: URL path starts with a disallowed
+    prefix for its host. ``candidates`` must carry (url, host). The
+    robots cache is broadcast (tiny relative to the frontier)."""
     path = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     with_path = candidates.withColumn("__path", F.when(path == "", "/").otherwise(path))
     joined = with_path.join(F.broadcast(robots), "host", "left")
@@ -43,7 +46,20 @@ def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         F.col("disallow").isNotNull(),
         F.exists("disallow", lambda d: F.col("__path").startswith(d)),
     ).otherwise(F.lit(False))
-    return joined.where(~blocked).drop("__path", "disallow")
+    return joined.withColumn(flag, blocked).drop("__path", "disallow")
+
+
+def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose URL path starts with a disallowed prefix
+    for its host. ``candidates`` must carry (url, host)."""
+    return (
+        with_robots_blocked(candidates, robots, "__blocked")
+        .where(~F.col("__blocked"))
+        .drop("__blocked")
+    )
+
+
+SMALL_BATCH_ROWS = 5_000_000
 
 
 def select_batch(
@@ -52,6 +68,7 @@ def select_batch(
     robots: DataFrame | None = None,
     batch_cap: int = 1 << 30,
     default_per_host: int = 8,
+    est_rows: int | None = None,
 ) -> DataFrame:
     """Pick this micro-batch's fetch set, deterministically.
 
@@ -59,7 +76,14 @@ def select_batch(
     politeness: (host, max_per_batch). Hosts absent from the table get
     ``default_per_host``. Output adds ``seq`` — the batch-local crawl
     order (0-based), the parity contract with the sequential oracle.
-    """
+
+    ``est_rows`` (an upper bound on the candidate count, e.g. the
+    crawl loop's committed pending counter) picks the ranking
+    strategy: below SMALL_BATCH_ROWS a single-partition window ranks
+    the politeness-capped set in ONE extra shuffle; above it the
+    two-phase parallel range rank (:func:`add_global_seq`) keeps every
+    task bounded. Both produce the identical ``seq`` — the order is a
+    pure function of the data (north rule)."""
     cand = pending if robots is None else robots_filter(pending, robots)
     cand = cand.join(F.broadcast(politeness), "host", "left").withColumn(
         "__cap", F.coalesce(F.col("max_per_batch"), F.lit(default_per_host))
@@ -70,39 +94,46 @@ def select_batch(
         .where(F.col("__rn") <= F.col("__cap"))
         .drop("__rn", "__cap", "max_per_batch")
     )
-    return add_global_seq(per_host).where(F.col("seq") < batch_cap)
+    if est_rows is not None and est_rows <= SMALL_BATCH_ROWS:
+        w = Window.orderBy(*frontier_order())
+        ranked = per_host.withColumn("seq", F.row_number().over(w) - 1)
+    else:
+        ranked = add_global_seq(per_host)
+    return ranked.where(F.col("seq") < batch_cap)
 
 
 def add_global_seq(df: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Deterministic dense global ``seq`` by (depth, -priority,
-    url_hash) WITHOUT a single-partition sort.
+    url_hash) WITHOUT a single-partition sort and WITHOUT any driver
+    round-trip.
 
-    Two-phase global rank: range-repartition on the order keys, rank
-    within each range partition in parallel, then shift by the
-    cumulative partition counts (tiny driver-side collect). The order
-    is a pure function of the data — range boundaries only affect
-    which task computes a rank, never the rank itself — so crawl-order
-    parity holds at any parallelism (the north-rule requirement)."""
+    Two-phase global rank, fully in-plan: range-repartition on the
+    order keys, rank within each range partition in parallel, then
+    shift each partition's ranks by the cumulative counts of the
+    partitions before it. The offsets are a cumulative-sum window over
+    the tiny (n_parts-row) per-partition count table, broadcast-joined
+    back — Catalyst's exchange reuse shares the one range shuffle
+    between the count branch and the rank branch, so the whole thing
+    is a single pass with zero driver-side collects (the round-trip
+    was the crawl loop's measured per-batch latency floor).
+
+    The order is a pure function of the data — range boundaries only
+    affect which task computes a rank, never the rank itself — so
+    crawl-order parity holds at any parallelism (the north-rule
+    requirement)."""
     if n_parts is None:
         n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(
         n_parts, F.col("depth").asc(), F.col("priority").desc(), F.col("url_hash").asc()
     ).withColumn("__pid", F.spark_partition_id())
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
     w = Window.partitionBy("__pid").orderBy(*frontier_order())
     return (
-        ranged.withColumn("seq", F.row_number().over(w) - 1 + off_expr)
-        .drop("__pid")
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("seq", F.row_number().over(w) - 1 + F.col("__off"))
+        .drop("__pid", "__off")
     )

@@ -205,23 +205,41 @@ def mark_new_against_seen(
     bloom_table: DataFrame,
     hash_col: str = "url_hash",
     n_parts: int = 32,
+    survivor_join: str = "broadcast",
 ) -> DataFrame:
-    """Candidates + exact ``is_new`` flag, computed shuffle-free w.r.t.
-    the seen table: Bloom probe → survivors broadcast into a semi-join
-    that only SCANS seen → small matched set broadcast back.
+    """Candidates + exact ``is_new`` flag. Bloom probe first; only the
+    maybe-seen *survivors* are exact-checked against the seen table.
+
+    survivor_join:
+      - ``"broadcast"``: survivors broadcast into a semi-join that only
+        SCANS seen, the small matched set broadcast back — zero shuffle
+        of the seen table. Right when survivors are small (typical
+        batch: survivors ≈ true dups + fp-rate × new).
+      - ``"shuffle"``: co-partitioned shuffle joins on ``hash_col`` —
+        the scale-safe fallback when a recrawl-heavy batch would make
+        the survivor set too large to broadcast (driver/executor OOM
+        at 10^10 scale). On a real deployment the seen table is
+        bucketed on the hash, so "shuffle" moves only the candidates.
 
     Callers should ``.cache()`` the result before taking multiple
     actions on it (the probe + scans re-execute otherwise)."""
     flagged = bloom_filter_candidates(candidates, bloom_table, hash_col, n_parts)
     survivors = flagged.where(F.col("maybe_seen")).select(hash_col)
-    matched = (
-        seen.select(hash_col)
-        .join(F.broadcast(survivors), hash_col, "left_semi")
-        .withColumn("__matched", F.lit(1))
-    )
-    out = flagged.join(F.broadcast(matched), hash_col, "left").withColumn(
-        "is_new", ~F.col("maybe_seen") | F.col("__matched").isNull()
-    )
+    if survivor_join == "broadcast":
+        matched = (
+            seen.select(hash_col)
+            .join(F.broadcast(survivors), hash_col, "left_semi")
+            .withColumn("__matched", F.lit(1))
+        )
+        out = flagged.join(F.broadcast(matched), hash_col, "left")
+    else:
+        matched = (
+            seen.select(hash_col)
+            .join(survivors, hash_col, "left_semi")
+            .withColumn("__matched", F.lit(1))
+        )
+        out = flagged.join(matched, hash_col, "left")
+    out = out.withColumn("is_new", ~F.col("maybe_seen") | F.col("__matched").isNull())
     return out.drop("__matched", "maybe_seen", "part")
 
 

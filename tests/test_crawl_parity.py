@@ -151,6 +151,35 @@ def test_bloom_forced_same_result(spark, world, oracle_run):
     assert eng.seen_hashes() == oracle_run.seen
 
 
+def test_range_rank_path_same_result(spark, world, oracle_run, monkeypatch):
+    """Force the two-phase parallel range rank (the 10^10-scale path;
+    small batches normally take the single-partition window) through
+    the whole crawl loop — the ranking strategy must be
+    output-invariant at any batch size."""
+    from openalex_collaboration_crawler_spark.streaming import politeness as pol
+
+    monkeypatch.setattr(pol, "SMALL_BATCH_ROWS", -1)
+    eng = _mk_engine(spark, world, "engine_rangerank")
+    eng.init_from_seeds(world["seeds"])
+    eng.run(max_batches=50)
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_survivor_shuffle_join_same_result(spark, world, oracle_run):
+    """Force the shuffle fallback for the bloom-survivor exact check
+    (survivor_broadcast_limit=0 + bloom from batch 1) — the scale-safe
+    join strategy must be output-invariant."""
+    eng = _mk_engine(
+        spark, world, "engine_shuffle_surv", bloom_min_seen=0, survivor_broadcast_limit=0
+    )
+    eng.init_from_seeds(world["seeds"])
+    metrics = eng.run(max_batches=50)
+    assert any(m.get("bloom_mode") for m in metrics if m.get("fetched"))
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
 def test_robots_blocked_never_fetched(engine_run, spark):
     eng, _ = engine_run
     fetched_urls = [r["url"] for r in eng.results().select("url").collect()]
