@@ -22,6 +22,7 @@ from openalex_collaboration_crawler_spark.operators import edges as ED
 from openalex_collaboration_crawler_spark.operators import graphstats as GS
 from openalex_collaboration_crawler_spark.operators import papers as PP
 from openalex_collaboration_crawler_spark.operators import similarity as SIM
+from openalex_collaboration_crawler_spark.operators import topics as TP
 from openalex_collaboration_crawler_spark.operators.authors import (
     compact_author_records,
     compress_author_affmap,
@@ -123,6 +124,10 @@ def _q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lost_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost-node fractions with PLANTED signal: every 7th author leaves
+    the membership after 1996 (mirrored in the oracle) — without the
+    plant the fixture loses nobody and the gate row-count is 0
+    (vacuously green)."""
     m = (
         collab_model(spark, sf_dir)
         .join(
@@ -134,6 +139,7 @@ def _q_lost_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("community"),
             F.col("author").alias("node"),
         )
+        .where(~((F.col("node") % 7 == 0) & (F.col("interval") > 1996)))
     )
     return AN.lost_nodes(m)
 
@@ -515,11 +521,11 @@ WITH pending AS (
 ),
 capped AS (
   SELECT *, row_number() OVER (PARTITION BY host
-            ORDER BY depth ASC, priority DESC, url_hash ASC) AS rn
+            ORDER BY depth ASC, priority DESC, url_hash ASC, url ASC) AS rn
   FROM pending
 )
-SELECT CAST(row_number() OVER (ORDER BY depth ASC, priority DESC, url_hash ASC) - 1 AS BIGINT)
-         AS seq,
+SELECT CAST(row_number() OVER (ORDER BY depth ASC, priority DESC, url_hash ASC, url ASC) - 1
+         AS BIGINT) AS seq,
        url, host, depth, priority
 FROM capped WHERE rn <= 3
 """
@@ -653,6 +659,161 @@ FROM base LEFT JOIN t USING (work_id)
 """
 
 
+# --------------------- round-2 operators (P11/A8/A13/J2-J3/script10) ----
+
+_RAW_TOPIC_LABELS = [
+    "Machine learning",  # synonym-filter hit (removed)
+    "Set (abstract data type)",  # parenthetical → category map → Programming language
+    "Topology",  # category map → Mathematics
+    "Deep learning",  # delete-list hit
+    "Naïve Bayes",  # ASCII fold → 'Nave Bayes'
+    "Signal processing",  # category map → Engineering
+    "Linguistics",  # passthrough
+    "Crystal (programming language)",  # parenthetical → synonym-filter hit
+    "Réseaux (computer network)",  # parenthetical + fold → 'Computer network'
+    "Quantum computing",  # passthrough
+]
+
+
+def _raw_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in _RAW_TOPIC_LABELS]),
+        (F.col("o_orderkey") % len(_RAW_TOPIC_LABELS) + 1).cast("int"),
+    )
+    return o.select(F.year("o_orderdate").cast("long").alias("year"), label.alias("topic"))
+
+
+def _raw_topics_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{x.replace(chr(39), chr(39) * 2)}'"
+        for i, x in enumerate(_RAW_TOPIC_LABELS)
+    )
+    return (
+        f"SELECT CAST(year(o_orderdate) AS BIGINT) AS year, "
+        f"(CASE o_orderkey % {len(_RAW_TOPIC_LABELS)} {whens} END) AS topic FROM orders"
+    )
+
+
+def _q_topic_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.topic_category_distribution(_raw_topics(spark, sf_dir), k=5)
+
+
+def _q_structural_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GS.structural_stats(ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))))
+
+
+def _q_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    return GS.null_model_stats(w, n_runs=8, seed=42)
+
+
+_IEDGES_SQL = f"SELECT year AS interval, work_id, a1, a2 FROM ({_EDGES_SQL})"
+
+_WORK_TOPICS_SQL = """
+SELECT DISTINCT l.l_orderkey AS work_id, p.p_type AS topic
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT o_orderkey AS work_id, 'Computer science' AS topic
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+def _work_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(work_id, topic) + a planted 'Computer science' noise topic for
+    every 7th work — positive signal for the delete-list path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    wt = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("work_id"), F.col("p_type").alias("topic"))
+        .distinct()
+    )
+    planted = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(F.col("o_orderkey").alias("work_id"), F.lit("Computer science").alias("topic"))
+    )
+    return wt.unionByName(planted)
+
+
+def _interval_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ED.pairwise_edges(collab_model(spark, sf_dir)).select(
+        F.col("year").alias("interval"), "work_id", "a1", "a2"
+    )
+
+
+def _membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        collab_model(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("author") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("year").alias("interval"),
+            F.col("s_nationkey").alias("community"),
+            F.col("author").alias("node"),
+        )
+    )
+
+
+def _q_community_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.community_topic_counts(
+        _interval_edges(spark, sf_dir),
+        _membership(spark, sf_dir),
+        _work_topics(spark, sf_dir),
+    )
+
+
+def _q_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-10 analogue: label each nation-community by the common
+    thread of its suppliers' part-type topics; topic embeddings come
+    from the embeddings fixture via a deterministic topic→vec_id hash
+    (the reference encodes with a sentence-transformer — an external
+    model, which is an INPUT here, not part of the engine)."""
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    ct = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .select(F.col("s_nationkey").alias("community"), F.col("p_type").alias("topic"))
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 64)
+    te = (
+        ct.select("topic")
+        .distinct()
+        .withColumn("vec_id", F.pmod(portable_hash64(F.col("topic")), F.lit(64)))
+        .join(emb, "vec_id")
+        .select("topic", "embedding")
+    )
+    return SIM.community_labels(ct, te)
+
+
+def _community_labels_sql() -> str:
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64_sql
+
+    ct = """
+SELECT DISTINCT s.s_nationkey AS community, p.p_type AS topic
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+    h = portable_hash64_sql("t.topic")
+    te = f"""
+SELECT t.topic, e.embedding
+FROM (SELECT DISTINCT topic FROM ({ct})) t
+JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64) e
+  ON ({h}) % 64 = e.vec_id
+"""
+    return SIM.community_labels_sql(ct, te, dim=64)
+
+
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped agg — exercises decimal-exact sums + multi-agg."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -707,6 +868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_pivot": _q_topk_pivot,
         "louvain": _q_louvain,
         "work_metadata": _q_work_metadata,
+        "topic_normalize": _q_topic_normalize,
+        "structural_stats": _q_structural_stats,
+        "null_model_stats": _q_null_model,
+        "community_topics": _q_community_topics,
+        "community_labels": _q_community_labels,
     }
 
 
@@ -730,7 +896,9 @@ GROUP BY 1
             k=5,
         ),
         "first_seen": AN.first_seen_sql(COLLAB_MODEL_SQL, "author", "year"),
-        "lost_authors": AN.lost_nodes_sql(_MEMBERSHIP_SQL),
+        "lost_authors": AN.lost_nodes_sql(
+            f"SELECT * FROM ({_MEMBERSHIP_SQL}) WHERE NOT (node % 7 = 0 AND interval > 1996)"
+        ),
         "community_overlap": AN.community_overlap_sql(_MEMBERSHIP_SQL),
         "sessionize": AN.sessionize_sql("events"),
         "dedup_exact": DD.exact_dup_groups_sql(
@@ -802,6 +970,15 @@ GROUP BY 1, 2
         ),
         # louvain: no SQL oracle (iterative community detection) — rows-only
         "work_metadata": _WORK_METADATA_SQL,
+        "topic_normalize": TP.topic_category_distribution_sql(_raw_topics_sql(), k=5),
+        "structural_stats": GS.structural_stats_sql(_WEIGHTED_SQL),
+        "null_model_stats": GS.null_model_stats_sql(
+            f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3", n_runs=8, seed=42
+        ),
+        "community_topics": AN.community_topic_counts_sql(
+            _IEDGES_SQL, _MEMBERSHIP_SQL, _WORK_TOPICS_SQL
+        ),
+        "community_labels": _community_labels_sql(),
     }
 
 

@@ -298,6 +298,113 @@ FROM inter i JOIN sizes s USING (iv_before, comm_before)
 """
 
 
+def community_works(
+    edges: DataFrame,
+    membership: DataFrame,
+    interval_col: str = "interval",
+    comm_col: str = "community",
+    node_col: str = "node",
+) -> DataFrame:
+    """J2 (/root/reference/analysis/07_community_flow.py:63-100):
+    recover the work ids each community spans — a work belongs to a
+    community when BOTH endpoint authors of one of its edges are in
+    that community (the reference materializes works[(a1,a2)] then
+    probes every author pair of the community; here it is two equi-
+    joins + a distinct, one shuffle each, no O(|community|²) loop).
+
+    edges: (interval, work_id, a1, a2); self-pairs are excluded
+    (ref get_works_from_community skips first == second).
+    Output: (interval, community, work_id) distinct."""
+    e = edges.where(F.col("a1") != F.col("a2"))
+    m1 = membership.select(
+        F.col(interval_col).alias("interval"),
+        F.col(node_col).alias("a1"),
+        F.col(comm_col).alias("c1"),
+    )
+    m2 = membership.select(
+        F.col(interval_col).alias("interval"),
+        F.col(node_col).alias("a2"),
+        F.col(comm_col).alias("c2"),
+    )
+    return (
+        e.join(m1, ["interval", "a1"])
+        .join(m2, ["interval", "a2"])
+        .where(F.col("c1") == F.col("c2"))
+        .select("interval", F.col("c1").alias("community"), "work_id")
+        .distinct()
+    )
+
+
+def community_works_sql(
+    edges_sql: str,
+    membership_sql: str,
+    interval_col: str = "interval",
+    comm_col: str = "community",
+    node_col: str = "node",
+) -> str:
+    return f"""
+SELECT DISTINCT e.interval, m1.{comm_col} AS community, e.work_id
+FROM ({edges_sql}) e
+JOIN ({membership_sql}) m1
+  ON m1.{interval_col} = e.interval AND m1.{node_col} = e.a1
+JOIN ({membership_sql}) m2
+  ON m2.{interval_col} = e.interval AND m2.{node_col} = e.a2
+WHERE e.a1 <> e.a2 AND m1.{comm_col} = m2.{comm_col}
+"""
+
+
+def community_topic_counts(
+    edges: DataFrame,
+    membership: DataFrame,
+    work_topics: DataFrame,
+    delete_list: DataFrame | None = None,
+) -> DataFrame:
+    """J3 (/root/reference/analysis/07_community_flow.py:104-119):
+    per-community topic histogram over the community's recovered
+    works, minus the delete-list noise labels
+    (mappings.application_domains_to_delete applied at 07:115-118).
+
+    work_topics: (work_id, topic) already exploded. Output:
+    (interval, community, topic, n)."""
+    cw = community_works(edges, membership)
+    counts = (
+        cw.join(work_topics.select("work_id", "topic"), "work_id")
+        .groupBy("interval", "community", "topic")
+        .agg(F.count("*").alias("n"))
+    )
+    if delete_list is None:
+        from openalex_collaboration_crawler_spark.operators.topics import _lists_to_dfs
+
+        delete_list, _, _ = _lists_to_dfs(edges.sparkSession, None, None, None)
+    return counts.join(
+        F.broadcast(delete_list.select(F.col("label").alias("topic"))), "topic", "left_anti"
+    ).select("interval", "community", "topic", "n")
+
+
+def community_topic_counts_sql(
+    edges_sql: str,
+    membership_sql: str,
+    work_topics_sql: str,
+    delete_list: list[str] | None = None,
+) -> str:
+    from openalex_collaboration_crawler_spark.operators.topics import DEFAULT_DELETE_LIST
+
+    dl = delete_list if delete_list is not None else DEFAULT_DELETE_LIST
+    dl_vals = ", ".join(f"('{x.replace(chr(39), chr(39) * 2)}')" for x in dl) or "(NULL)"
+    cw = community_works_sql(edges_sql, membership_sql)
+    return f"""
+WITH cw AS ({cw}),
+dl(label) AS (VALUES {dl_vals}),
+counts AS (
+  SELECT cw.interval, cw.community, t.topic, count(*) AS n
+  FROM cw JOIN ({work_topics_sql}) t USING (work_id)
+  GROUP BY 1, 2, 3
+)
+SELECT interval, community, topic, n FROM counts
+WHERE topic NOT IN (SELECT label FROM dl)
+"""
+
+
 def community_size_split(
     membership: DataFrame,
     pct: float = 0.99,

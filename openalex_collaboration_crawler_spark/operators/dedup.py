@@ -100,21 +100,39 @@ FROM {table}
 # -------------------------------------------------------- n-gram Jaccard
 
 
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """All pairs (a<b) with shingle-Jaccard ≥ threshold.
 
     Inverted-index join: pairs only materialize for docs sharing ≥1
-    shingle. At scale, hot shingles (boilerplate) are the skew hazard —
-    mitigated upstream by dropping top-frequency shingles (see
-    minhash_lsh's band-cap for the same idea).
+    shingle. At scale, hot shingles (boilerplate) are the skew hazard:
+    ONE shingle shared by 10^6 docs emits ~5·10^11 pairs. Shingles
+    appearing in more than ``max_doc_freq`` docs are therefore dropped
+    BEFORE the index join (one window over the shingle shuffle — no
+    extra join), and Jaccard is computed over the surviving shingle
+    space for both the intersection and the set sizes — a consistent,
+    documented approximation (boilerplate shingles carry no dedup
+    signal), standard in production near-dup pipelines. The oracle
+    mirrors the cap exactly.
     """
-    sh = doc_shingles(docs, text_col, id_col, n)
+    from pyspark.sql.window import Window
+
+    sh_all = doc_shingles(docs, text_col, id_col, n)
+    w_freq = Window.partitionBy("shingle")
+    sh = (
+        sh_all.withColumn("__df", F.count("*").over(w_freq))
+        .where(F.col("__df") <= max_doc_freq)
+        .drop("__df")
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -140,11 +158,21 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    table: str, threshold: float = 0.6, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    table: str,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
 ) -> str:
     sh = doc_shingles_sql(table, text_col, id_col, n)
     return f"""
-WITH sh AS ({sh}),
+WITH sh_all AS ({sh}),
+sh AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh_all
+  ) WHERE df <= {max_doc_freq}
+),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT x.id AS a, y.id AS b, count(*) AS inter

@@ -39,7 +39,15 @@ def connected_components(
     takes the min; converges in O(diameter) passes. Per pass: one
     shuffle on node. ``localCheckpoint`` truncates the plan so the
     lineage doesn't grow with iterations (the classic iterative-
-    DataFrame trap). Isolated nodes keep their own id."""
+    DataFrame trap). Isolated nodes keep their own id.
+
+    Raises ``RuntimeError`` if labels are still changing when
+    ``max_iter`` is reached (a high-diameter graph, e.g. a long path,
+    would otherwise return silently WRONG labels). For graphs whose
+    diameter can exceed any fixed cap, the O(log n) large-star/
+    small-star alternation (Kiveris et al.) is the upgrade path —
+    raise max_iter or pre-contract with it; this operator refuses to
+    guess."""
     adj = _undirected(edges, a, b).cache()
     labels = (
         adj.select(F.col("u").alias("node"))
@@ -47,6 +55,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             adj.join(labels, adj.v == labels.node)
@@ -72,8 +81,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     adj.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} passes "
+            "(graph diameter exceeds the cap); raise max_iter"
+        )
     return labels
 
 
@@ -378,12 +393,12 @@ def _louvain_python(edges: list[tuple], seed: int = 42) -> dict:
     return node2comm_final
 
 
-def triangle_count(edges: DataFrame, a: str = "author1", b: str = "author2") -> DataFrame:
-    """Total triangle count via degree-ordered orientation: orient each
-    edge from the (degree, id)-smaller endpoint to the larger, join
-    out-neighbors pairwise, check the closing edge. Every triangle is
-    counted exactly once and no node fans out more than O(sqrt(|E|))
-    — the standard skew-proof formulation."""
+def closed_triangles(edges: DataFrame, a: str = "author1", b: str = "author2") -> DataFrame:
+    """Each triangle exactly once as (w0, w1, w2), via degree-ordered
+    orientation: orient each edge from the (degree, id)-smaller
+    endpoint to the larger, join out-neighbors pairwise, check the
+    closing edge. No node fans out more than O(sqrt(|E|)) — the
+    standard skew-proof formulation."""
     und = _undirected(edges, a, b)
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     e = (
@@ -404,8 +419,383 @@ def triangle_count(edges: DataFrame, a: str = "author1", b: str = "author2") -> 
     closing = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2")).unionByName(
         oriented.select(F.col("v").alias("w1"), F.col("u").alias("w2"))
     )
-    tri = wedges.join(closing, ["w1", "w2"], "left_semi")
-    return tri.agg(F.count("*").alias("n_triangles"))
+    return wedges.join(closing, ["w1", "w2"], "left_semi")
+
+
+def triangle_count(edges: DataFrame, a: str = "author1", b: str = "author2") -> DataFrame:
+    """Total triangle count (each counted exactly once)."""
+    return closed_triangles(edges, a, b).agg(F.count("*").alias("n_triangles"))
+
+
+def per_node_triangles(edges: DataFrame, a: str = "author1", b: str = "author2") -> DataFrame:
+    """(node, n_tri): triangles through each node — each closed
+    triangle contributes to all three corners."""
+    tri = closed_triangles(edges, a, b)
+    corners = (
+        tri.select(F.col("w0").alias("node"))
+        .unionAll(tri.select(F.col("w1").alias("node")))
+        .unionAll(tri.select(F.col("w2").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+def structural_stats(
+    weighted: DataFrame, a: str = "author1", b: str = "author2", w: str = "weight"
+) -> DataFrame:
+    """Full structural-statistics row of the reference
+    (/root/reference/analysis/compute_structural_statistics.py:22-52 +
+    08_graphs_property_validation.py:71-84): node/edge counts,
+    degree and weighted-degree (strength) min/max/mean/median/std,
+    density, average local clustering, degree assortativity and
+    transitivity — ONE output row.
+
+    Operates on the simple graph (self-loops dropped; clustering and
+    assortativity are only defined there). Every aggregate reduces to
+    exact integer sums (weights are counts) with the doubles formed
+    once at the end — bit-identical to the SQL oracle. Shuffles: one
+    per-node agg, the triangle join, one edge-endpoint join; all
+    partial-aggregated map-side."""
+    e = weighted.select(
+        F.col(a).alias("u"), F.col(b).alias("v"), F.col(w).cast("long").alias("wt")
+    ).where(F.col(a) != F.col(b))
+    ends = e.select(F.col("u").alias("node"), "wt").unionAll(
+        e.select(F.col("v").alias("node"), "wt")
+    )
+    per_node = ends.groupBy("node").agg(
+        F.count("*").alias("d"), F.sum("wt").alias("s")
+    )
+    tri = per_node_triangles(e, "u", "v")
+    cnode = per_node.join(tri, "node", "left").select(
+        "d",
+        "s",
+        F.when(
+            F.col("d") >= 2,
+            2.0
+            * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )
+    node_agg = cnode.agg(
+        F.count("*").alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+        F.sum("d").alias("sum_d"),
+        F.sum(F.col("d") * F.col("d")).alias("sum_d2"),
+        F.expr("percentile(d, 0.5)").alias("median_degree"),
+        F.min("s").alias("w_min_degree"),
+        F.max("s").alias("w_max_degree"),
+        F.sum("s").alias("sum_s"),
+        F.sum(F.col("s") * F.col("s")).alias("sum_s2"),
+        F.expr("percentile(s, 0.5)").alias("w_median_degree"),
+        F.sum("cc").alias("sum_cc"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_triplets"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_tri_tot = triangle_count(e, "u", "v")
+    # assortativity: Pearson over (deg(u), deg(v)) for each edge in
+    # BOTH orientations (networkx degree_assortativity_coefficient)
+    du = per_node.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = per_node.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    asst = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.sum(F.col("du") * F.col("dv")).alias("sxy_half"),
+            F.sum(F.col("du") + F.col("dv")).alias("sx"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias("sx2"),
+            F.count("*").alias("m"),
+        )
+    )
+
+    def _dbl(c):
+        return F.col(c).cast("double")
+
+    mean_d = _dbl("sum_d") / _dbl("n_nodes")
+    var_d = (_dbl("sum_d2") - _dbl("sum_d") * _dbl("sum_d") / _dbl("n_nodes")) / _dbl("n_nodes")
+    mean_s = _dbl("sum_s") / _dbl("n_nodes")
+    var_s = (_dbl("sum_s2") - _dbl("sum_s") * _dbl("sum_s") / _dbl("n_nodes")) / _dbl("n_nodes")
+    nn = _dbl("n_nodes")
+    density = _dbl("n_edges") / (nn * (nn - 1.0) / 2.0)
+    n2 = 2.0 * _dbl("m")
+    mx = _dbl("sx") / n2
+    r_num = 2.0 * _dbl("sxy_half") / n2 - mx * mx
+    r_den = _dbl("sx2") / n2 - mx * mx
+    return (
+        node_agg.crossJoin(n_edges)
+        .crossJoin(n_tri_tot)
+        .crossJoin(asst)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "min_degree",
+            "max_degree",
+            F.round(mean_d, 6).alias("mean_degree"),
+            F.round(F.col("median_degree"), 6).alias("median_degree"),
+            F.round(F.sqrt(var_d), 6).alias("std_degree"),
+            "w_min_degree",
+            "w_max_degree",
+            F.round(mean_s, 6).alias("w_mean_degree"),
+            F.round(F.col("w_median_degree"), 6).alias("w_median_degree"),
+            F.round(F.sqrt(var_s), 6).alias("w_std_degree"),
+            F.round(density, 6).alias("density"),
+            F.round(_dbl("sum_cc") / nn, 6).alias("avg_clustering"),
+            F.when(r_den > 0, F.round(r_num / r_den, 6)).otherwise(F.lit(None).cast("double")).alias(
+                "assortativity"
+            ),
+            F.when(
+                F.col("n_triplets") > 0,
+                F.round(3.0 * _dbl("n_triangles") / _dbl("n_triplets"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
+def structural_stats_sql(weighted_sql: str) -> str:
+    """DuckDB mirror of :func:`structural_stats` (same integer-sum
+    closed forms)."""
+    return f"""
+WITH e AS (
+  SELECT author1 AS u, author2 AS v, CAST(weight AS BIGINT) AS wt
+  FROM ({weighted_sql}) WHERE author1 <> author2
+),
+ends AS (SELECT u AS node, wt FROM e UNION ALL SELECT v AS node, wt FROM e),
+per_node AS (SELECT node, count(*) AS d, CAST(sum(wt) AS BIGINT) AS s
+             FROM ends GROUP BY node),
+und AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+degu AS (SELECT u, count(*) AS du FROM und GROUP BY u),
+oriented AS (
+  SELECT und.u, und.v FROM und
+  JOIN degu a ON und.u = a.u JOIN degu b ON und.v = b.u
+  WHERE a.du < b.du OR (a.du = b.du AND und.u < und.v)
+),
+wedges AS (
+  SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+closing AS (
+  SELECT u AS w1, v AS w2 FROM oriented
+  UNION ALL SELECT v AS w1, u AS w2 FROM oriented
+),
+tri AS (
+  SELECT w0, w1, w2 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closing c WHERE c.w1 = w.w1 AND c.w2 = w.w2)
+),
+tri_tot AS (SELECT count(*) AS n_triangles FROM tri),
+tri_node AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT w0 AS node FROM tri UNION ALL SELECT w1 FROM tri UNION ALL SELECT w2 FROM tri
+  ) GROUP BY node
+),
+cnode AS (
+  SELECT p.d, p.s,
+         CASE WHEN p.d >= 2
+              THEN 2.0 * CAST(coalesce(t.n_tri, 0) AS DOUBLE)
+                   / CAST(p.d * (p.d - 1) AS DOUBLE)
+              ELSE 0.0 END AS cc
+  FROM per_node p LEFT JOIN tri_node t USING (node)
+),
+node_agg AS (
+  SELECT count(*) AS n_nodes, min(d) AS min_degree, max(d) AS max_degree,
+         sum(d) AS sum_d, sum(d * d) AS sum_d2,
+         quantile_cont(d, 0.5) AS median_degree,
+         min(s) AS w_min_degree, max(s) AS w_max_degree,
+         sum(s) AS sum_s, sum(s * s) AS sum_s2,
+         quantile_cont(s, 0.5) AS w_median_degree,
+         sum(cc) AS sum_cc, sum(d * (d - 1) / 2) AS n_triplets
+  FROM cnode
+),
+edge_agg AS (SELECT count(*) AS n_edges FROM e),
+asst AS (
+  SELECT sum(a.d * b.d) AS sxy_half, sum(a.d + b.d) AS sx,
+         sum(a.d * a.d + b.d * b.d) AS sx2, count(*) AS m
+  FROM e JOIN per_node a ON e.u = a.node JOIN per_node b ON e.v = b.node
+)
+SELECT n_nodes, n_edges, min_degree, max_degree,
+       round(CAST(sum_d AS DOUBLE) / n_nodes, 6) AS mean_degree,
+       round(median_degree, 6) AS median_degree,
+       round(sqrt((CAST(sum_d2 AS DOUBLE) - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)
+             / n_nodes) / n_nodes), 6) AS std_degree,
+       w_min_degree, w_max_degree,
+       round(CAST(sum_s AS DOUBLE) / n_nodes, 6) AS w_mean_degree,
+       round(w_median_degree, 6) AS w_median_degree,
+       round(sqrt((CAST(sum_s2 AS DOUBLE) - CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE)
+             / n_nodes) / n_nodes), 6) AS w_std_degree,
+       round(CAST(n_edges AS DOUBLE)
+             / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1.0) / 2.0), 6) AS density,
+       round(CAST(sum_cc AS DOUBLE) / n_nodes, 6) AS avg_clustering,
+       CASE WHEN (CAST(sx2 AS DOUBLE) / (2.0 * m)
+                  - (CAST(sx AS DOUBLE) / (2.0 * m)) * (CAST(sx AS DOUBLE) / (2.0 * m))) > 0
+            THEN round((2.0 * CAST(sxy_half AS DOUBLE) / (2.0 * m)
+                  - (CAST(sx AS DOUBLE) / (2.0 * m)) * (CAST(sx AS DOUBLE) / (2.0 * m)))
+                 / (CAST(sx2 AS DOUBLE) / (2.0 * m)
+                  - (CAST(sx AS DOUBLE) / (2.0 * m)) * (CAST(sx AS DOUBLE) / (2.0 * m))), 6)
+            ELSE NULL END AS assortativity,
+       CASE WHEN n_triplets > 0
+            THEN round(3.0 * CAST(n_triangles AS DOUBLE) / n_triplets, 6)
+            ELSE 0.0 END AS transitivity
+FROM node_agg, edge_agg, tri_tot, asst
+"""
+
+
+def null_model_stats(
+    weighted: DataFrame,
+    n_runs: int = 8,
+    seed: int = 42,
+    a: str = "author1",
+    b: str = "author2",
+) -> DataFrame:
+    """A13 — expected-degree (Chung-Lu) null-model ensemble
+    (/root/reference/analysis/08_graphs_property_validation.py:104-135:
+    N ``nx.expected_degree_graph`` draws from the observed degree
+    sequence, then mean/variance of each structural stat across runs).
+
+    Sampling is a deterministic hash-Bernoulli: pair (i,j), i<j, is an
+    edge in run r iff frac(h(seed,r,i,j)) < min(1, d_i*d_j/sum_d) —
+    the same edge-probability law as expected_degree_graph, but
+    reproducible in both Spark and the DuckDB oracle (seeded PRNGs
+    differ across engines; a portable hash does not).
+
+    The candidate set here is the full i<j cross join — right for the
+    reference's use (validating BACKBONE graphs, ≤10^4 nodes). At
+    10^8+ nodes the standard swap is degree-class grouping: nodes
+    with equal degree are exchangeable, so sample per degree-class
+    pair (D² classes, D = #distinct degrees ≪ n) and assign to nodes
+    by hash order. Variance uses ddof=1 (pandas ``DataFrame.var``,
+    ref 08:122)."""
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
+
+    e = weighted.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
+        F.col(a) != F.col(b)
+    )
+    ends = e.select(F.col("u").alias("node")).unionAll(e.select(F.col("v").alias("node")))
+    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
+    sum_d = deg.agg(F.sum("d").alias("sum_d"))
+    di = deg.select(F.col("node").alias("i"), F.col("d").alias("di"))
+    dj = deg.select(F.col("node").alias("j"), F.col("d").alias("dj"))
+    pairs = (
+        di.join(dj, F.col("i") < F.col("j"))
+        .crossJoin(F.broadcast(sum_d))
+        .select(
+            "i",
+            "j",
+            F.least(
+                F.lit(1.0),
+                F.col("di").cast("double") * F.col("dj").cast("double") / F.col("sum_d").cast("double"),
+            ).alias("p"),
+        )
+    )
+    runs = weighted.sparkSession.range(n_runs).select(F.col("id").alias("r"))
+    cand = pairs.crossJoin(F.broadcast(runs))
+    u01 = (
+        F.pmod(
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.lit("nullmodel"),
+                    F.lit(seed).cast("string"),
+                    F.col("r").cast("string"),
+                    F.col("i").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            F.lit(1_000_000),
+        ).cast("double")
+        / 1_000_000.0
+    )
+    sampled = cand.where(u01 < F.col("p")).select("r", "i", "j")
+    # generated-graph degrees; nodes absent from a run's edges have 0
+    gen_ends = sampled.select("r", F.col("i").alias("node")).unionAll(
+        sampled.select("r", F.col("j").alias("node"))
+    )
+    gen_deg = gen_ends.groupBy("r", "node").agg(F.count("*").alias("gd"))
+    all_nodes = deg.select("node").crossJoin(F.broadcast(runs))
+    full = all_nodes.join(gen_deg, ["r", "node"], "left").select(
+        "r", F.coalesce(F.col("gd"), F.lit(0)).alias("gd")
+    )
+    per_run = full.groupBy("r").agg(
+        (F.sum("gd") / 2).cast("long").alias("n_edges"),
+        F.max("gd").alias("max_degree"),
+        (F.sum("gd").cast("double") / F.count("*").cast("double")).alias("mean_degree"),
+        F.expr("percentile(gd, 0.5)").alias("median_degree"),
+        F.sqrt(
+            (
+                F.sum(F.col("gd") * F.col("gd")).cast("double")
+                - F.sum("gd").cast("double") * F.sum("gd").cast("double") / F.count("*").cast("double")
+            )
+            / F.count("*").cast("double")
+        ).alias("std_degree"),
+    )
+    return per_run.agg(
+        F.count("*").alias("n_runs"),
+        F.round(F.avg("n_edges"), 6).alias("mean_n_edges"),
+        F.round(F.var_samp("n_edges"), 6).alias("var_n_edges"),
+        F.round(F.avg("max_degree"), 6).alias("mean_max_degree"),
+        F.round(F.var_samp("max_degree"), 6).alias("var_max_degree"),
+        F.round(F.avg("mean_degree"), 6).alias("mean_mean_degree"),
+        F.round(F.var_samp("mean_degree"), 6).alias("var_mean_degree"),
+        F.round(F.avg("median_degree"), 6).alias("mean_median_degree"),
+        F.round(F.var_samp("median_degree"), 6).alias("var_median_degree"),
+        F.round(F.avg("std_degree"), 6).alias("mean_std_degree"),
+        F.round(F.var_samp("std_degree"), 6).alias("var_std_degree"),
+    )
+
+
+def null_model_stats_sql(weighted_sql: str, n_runs: int = 8, seed: int = 42) -> str:
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(
+        f"('nullmodel|' || '{seed}' || '|' || CAST(r AS VARCHAR)"
+        f" || '|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR))"
+    )
+    return f"""
+WITH e AS (SELECT author1 AS u, author2 AS v FROM ({weighted_sql}) WHERE author1 <> author2),
+ends AS (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e),
+deg AS (SELECT node, count(*) AS d FROM ends GROUP BY node),
+sd AS (SELECT sum(d) AS sum_d FROM deg),
+pairs AS (
+  SELECT a.node AS i, b.node AS j,
+         least(1.0, CAST(a.d AS DOUBLE) * CAST(b.d AS DOUBLE) / CAST(sd.sum_d AS DOUBLE)) AS p
+  FROM deg a JOIN deg b ON a.node < b.node, sd
+),
+runs AS (SELECT unnest(range({n_runs})) AS r),
+cand AS (SELECT i, j, p, r FROM pairs, runs),
+sampled AS (
+  SELECT r, i, j FROM cand
+  WHERE CAST(({h}) % 1000000 AS DOUBLE) / 1000000.0 < p
+),
+gen_ends AS (SELECT r, i AS node FROM sampled UNION ALL SELECT r, j AS node FROM sampled),
+gen_deg AS (SELECT r, node, count(*) AS gd FROM gen_ends GROUP BY 1, 2),
+filled AS (
+  SELECT runs.r, coalesce(g.gd, 0) AS gd
+  FROM deg CROSS JOIN runs
+  LEFT JOIN gen_deg g ON g.r = runs.r AND g.node = deg.node
+),
+per_run AS (
+  SELECT r, CAST(sum(gd) / 2 AS BIGINT) AS n_edges, max(gd) AS max_degree,
+         CAST(sum(gd) AS DOUBLE) / count(*) AS mean_degree,
+         quantile_cont(gd, 0.5) AS median_degree,
+         sqrt((CAST(sum(gd * gd) AS DOUBLE)
+               - CAST(sum(gd) AS DOUBLE) * CAST(sum(gd) AS DOUBLE) / count(*))
+              / count(*)) AS std_degree
+  FROM filled GROUP BY r
+)
+SELECT count(*) AS n_runs,
+       round(avg(n_edges), 6) AS mean_n_edges,
+       round(var_samp(n_edges), 6) AS var_n_edges,
+       round(avg(max_degree), 6) AS mean_max_degree,
+       round(var_samp(max_degree), 6) AS var_max_degree,
+       round(avg(mean_degree), 6) AS mean_mean_degree,
+       round(var_samp(mean_degree), 6) AS var_mean_degree,
+       round(avg(median_degree), 6) AS mean_median_degree,
+       round(var_samp(median_degree), 6) AS var_median_degree,
+       round(avg(std_degree), 6) AS mean_std_degree,
+       round(var_samp(std_degree), 6) AS var_std_degree
+FROM per_run
+"""
 
 
 def transitivity(edges: DataFrame, a: str = "author1", b: str = "author2") -> DataFrame:

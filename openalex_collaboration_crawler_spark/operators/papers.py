@@ -98,11 +98,14 @@ def keep_papers(
     contains the country code and whose lowercased display_name is in
     the keep list. ``keep_names`` has one column ``name`` (already
     lowercased by the loader, papers.cpp:115-128). Returns the kept
-    raw lines verbatim (S6)."""
-    base = candidates.select(
-        F.monotonically_increasing_id().alias("__rid"), "raw", "w"
-    )
-    au = base.select("__rid", F.explode("w.authorships").alias("a"))
+    raw lines verbatim (S6).
+
+    Rows are keyed on the work id (``w.id``, unique in the OpenAlex
+    data model) — NOT a synthetic ``monotonically_increasing_id``,
+    whose values depend on partition layout and are not stable across
+    the two plan branches under AQE re-planning / task retries."""
+    base = candidates.select(F.col("w.id").alias("__wid"), "raw", "w")
+    au = base.select("__wid", F.explode("w.authorships").alias("a"))
     # reference builds ",US,IT" then substring-searches the code
     aff_str = F.when(
         F.size(F.coalesce(F.col("a.countries"), F.array().cast("array<string>"))) > 0,
@@ -110,12 +113,12 @@ def keep_papers(
     ).otherwise(F.lit(""))
     hits = (
         au.where(aff_str.contains(country))
-        .select("__rid", F.lower(F.coalesce(F.col("a.author.display_name"), F.lit(""))).alias("name"))
+        .select("__wid", F.lower(F.coalesce(F.col("a.author.display_name"), F.lit(""))).alias("name"))
         .join(F.broadcast(keep_names.select(F.lower("name").alias("name"))), "name", "left_semi")
-        .select("__rid")
+        .select("__wid")
         .distinct()
     )
-    return base.join(hits, "__rid", "left_semi").select("raw")
+    return base.join(hits, "__wid", "left_semi").select("raw")
 
 
 def topic_distributions(candidates: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -89,6 +89,19 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def n_planes_for(corpus_rows: int, target_bucket: int = 1024, min_planes: int = 6) -> int:
+    """Plane count scaled to corpus size: 2^planes buckets sized so the
+    EXPECTED bucket holds ~``target_bucket`` rows (within-bucket join
+    cost is O(bucket²); at 10^10 rows and the default target this
+    gives 24 planes ≈ 16M buckets instead of a fixed 2^6)."""
+    import math
+
+    return max(min_planes, math.ceil(math.log2(max(corpus_rows, 1) / target_bucket)))
+
+
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -96,6 +109,27 @@ def with_lsh_bucket(
 
     df = ensure_parallelism(df)
     return df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim, seed))
+
+
+def _cap_buckets(df: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop rows of buckets holding more than ``max_bucket`` rows (one
+    window over the bucket shuffle — the same mega-bucket guard as
+    minhash LSH; a skewed bucket at corpus scale would make the
+    within-bucket join O(n²))."""
+    w = Window.partitionBy("bucket")
+    return (
+        df.withColumn("__bsz", F.count("*").over(w))
+        .where(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def _cap_buckets_sql(inner_sql: str, max_bucket: int) -> str:
+    return f"""
+SELECT * EXCLUDE (__bsz) FROM (
+  SELECT *, count(*) OVER (PARTITION BY bucket) AS __bsz FROM ({inner_sql})
+) WHERE __bsz <= {max_bucket}
+"""
 
 
 def lsh_bucket_histogram(
@@ -122,12 +156,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's LSH bucket.
 
     Recall < 1.0 by design; the oracle reproduces the same bucketing so
-    results are still deterministic and differential-testable."""
-    c = with_lsh_bucket(corpus, vec_col, n_planes, dim)
+    results are still deterministic and differential-testable.
+    Corpus buckets above ``max_bucket`` are dropped (mega-bucket
+    guard); pick ``n_planes`` via :func:`n_planes_for` so expected
+    buckets stay far below the cap."""
+    c = _cap_buckets(with_lsh_bucket(corpus, vec_col, n_planes, dim), max_bucket)
     q = with_lsh_bucket(queries, "query_vec", n_planes, dim)
     joined = c.join(F.broadcast(q), "bucket").select(
         F.col("query_id"),
@@ -150,15 +188,20 @@ def lsh_topk_sql(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> str:
-    cb = lsh_bucket_sql(f"c.{vec_col}", n_planes, dim)
+    b = lsh_bucket_sql(vec_col, n_planes, dim)
     qb = lsh_bucket_sql("q.query_vec", n_planes, dim)
     sim = cosine_sql(f"c.{vec_col}", "q.query_vec")
+    capped = _cap_buckets_sql(
+        f"SELECT *, {b} AS bucket FROM {corpus_table}", max_bucket
+    )
     return f"""
 WITH q AS ({queries_sql}),
+c AS ({capped}),
 scored AS (
   SELECT q.query_id AS query_id, c.{id_col} AS vec_id, {sim} AS sim_raw
-  FROM {corpus_table} c JOIN q ON {cb} = {qb}
+  FROM c JOIN q ON c.bucket = {qb}
 ),
 ranked AS (
   SELECT query_id, vec_id, sim_raw,
@@ -170,6 +213,113 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def community_labels(
+    comm_topics: DataFrame,
+    topic_embeddings: DataFrame,
+    comm_col: str = "community",
+    topic_col: str = "topic",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Common-thread community labelling
+    (/root/reference/analysis/10_community_labelling.py:22-33): embed
+    every topic of a community, rank topics by cosine similarity to
+    the community centroid, label with the top-1 (and top-2 when
+    present) — ``" (t1: t2)"`` / ``" (t1)"``, the reference's format.
+
+    The reference encodes topics with a sentence-transformer; here the
+    embedding table is an INPUT (topic → array<float>), so the
+    operator is pure relational math: cos(x, centroid) ranks
+    identically to cos(x, Σx) (cosine is scale-invariant), so the
+    centroid never needs a divide — one posexplode + two hash-aggs +
+    one join, no per-row Python, no model dependency in the engine.
+
+    Output: (community, label, top_topic, second_topic)."""
+    joined = comm_topics.select(
+        F.col(comm_col).alias("community"), F.col(topic_col).alias("topic")
+    ).distinct().join(
+        topic_embeddings.select(F.col(topic_col).alias("topic"), F.col(vec_col).alias("v")),
+        "topic",
+    )
+    ex = joined.select(
+        "community", "topic", F.posexplode(F.col("v"))
+    ).select("community", "topic", F.col("pos"), F.col("col").cast("double").alias("val"))
+    s = ex.groupBy("community", "pos").agg(F.sum("val").alias("sval"))
+    dots = (
+        ex.join(s, ["community", "pos"])
+        .groupBy("community", "topic")
+        .agg(
+            F.sum(F.col("val") * F.col("sval")).alias("dp"),
+            F.sum(F.col("val") * F.col("val")).alias("x2"),
+        )
+    )
+    snorm = s.groupBy("community").agg(F.sum(F.col("sval") * F.col("sval")).alias("s2"))
+    cos = F.when(
+        (F.col("x2") > 0) & (F.col("s2") > 0),
+        F.col("dp") / F.sqrt(F.col("x2") * F.col("s2")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("community").orderBy(F.desc("sim"), F.asc("topic"))
+    ranked = (
+        dots.join(snorm, "community")
+        .withColumn("sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+    )
+    top = ranked.groupBy("community").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("topic"))).alias("top_topic"),
+        F.max(F.when(F.col("rank") == 2, F.col("topic"))).alias("second_topic"),
+    )
+    label = F.when(
+        F.col("second_topic").isNotNull(),
+        F.concat(F.lit(" ("), F.col("top_topic"), F.lit(": "), F.col("second_topic"), F.lit(")")),
+    ).otherwise(F.concat(F.lit(" ("), F.col("top_topic"), F.lit(")")))
+    return top.select("community", label.alias("label"), "top_topic", "second_topic")
+
+
+def community_labels_sql(
+    comm_topics_sql: str, topic_embeddings_sql: str, dim: int = 64
+) -> str:
+    """DuckDB mirror of :func:`community_labels` (1-based positions —
+    the position key is engine-internal, only the label is compared)."""
+    return f"""
+WITH ct AS (SELECT DISTINCT community, topic FROM ({comm_topics_sql})),
+te AS (SELECT topic, embedding FROM ({topic_embeddings_sql})),
+j AS (SELECT ct.community, ct.topic, te.embedding FROM ct JOIN te USING (topic)),
+pos AS (SELECT unnest(range(1, {dim} + 1)) AS p),
+ex AS (
+  SELECT j.community, j.topic, pos.p, CAST(j.embedding[pos.p] AS DOUBLE) AS val
+  FROM j, pos
+),
+s AS (SELECT community, p, sum(val) AS sval FROM ex GROUP BY 1, 2),
+dots AS (
+  SELECT ex.community, ex.topic, sum(ex.val * s.sval) AS dp, sum(ex.val * ex.val) AS x2
+  FROM ex JOIN s ON ex.community = s.community AND ex.p = s.p
+  GROUP BY 1, 2
+),
+snorm AS (SELECT community, sum(sval * sval) AS s2 FROM s GROUP BY 1),
+ranked AS (
+  SELECT d.community, d.topic,
+         row_number() OVER (
+           PARTITION BY d.community
+           ORDER BY (CASE WHEN d.x2 > 0 AND sn.s2 > 0
+                          THEN d.dp / sqrt(d.x2 * sn.s2) ELSE 0.0 END) DESC,
+                    d.topic ASC) AS rank
+  FROM dots d JOIN snorm sn USING (community)
+),
+top AS (
+  SELECT community,
+         max(CASE WHEN rank = 1 THEN topic END) AS top_topic,
+         max(CASE WHEN rank = 2 THEN topic END) AS second_topic
+  FROM ranked WHERE rank <= 2 GROUP BY community
+)
+SELECT community,
+       CASE WHEN second_topic IS NOT NULL
+            THEN (' (' || top_topic || ': ' || second_topic || ')')
+            ELSE (' (' || top_topic || ')') END AS label,
+       top_topic, second_topic
+FROM top
+"""
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -177,9 +327,11 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Pairs (a<b) in the same LSH bucket with cosine ≥ threshold."""
-    e = with_lsh_bucket(embeddings, vec_col, n_planes, dim)
+    """Pairs (a<b) in the same LSH bucket with cosine ≥ threshold.
+    Buckets above ``max_bucket`` are dropped (mega-bucket guard)."""
+    e = _cap_buckets(with_lsh_bucket(embeddings, vec_col, n_planes, dim), max_bucket)
     a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     return (
@@ -198,13 +350,15 @@ def embedding_neardup_pairs_sql(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> str:
-    xb = lsh_bucket_sql(f"x.{vec_col}", n_planes, dim)
-    yb = lsh_bucket_sql(f"y.{vec_col}", n_planes, dim)
+    b = lsh_bucket_sql(vec_col, n_planes, dim)
     sim = cosine_sql(f"x.{vec_col}", f"y.{vec_col}")
+    capped = _cap_buckets_sql(f"SELECT *, {b} AS bucket FROM {table}", max_bucket)
     return f"""
+WITH e AS ({capped})
 SELECT x.{id_col} AS a, y.{id_col} AS b, round({sim}, 6) AS sim
-FROM {table} x JOIN {table} y
-  ON {xb} = {yb} AND x.{id_col} < y.{id_col}
+FROM e x JOIN e y
+  ON x.bucket = y.bucket AND x.{id_col} < y.{id_col}
 WHERE {sim} >= {threshold}
 """

@@ -44,11 +44,19 @@ def skew_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
-    ×n_salts. Result-identical to ``big.join(small, on, how)``.
+    ×n_salts. Result-identical to ``big.join(small, on, how)`` for the
+    supported join types; right/full outer are REJECTED (replicating
+    the small side would duplicate its unmatched rows n_salts times).
 
     Use when a sort-merge join stalls on a few hot keys and the small
     side is too big to broadcast outright but fine to replicate
     n_salts times across the shuffle."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"skew_join supports {sorted(allowed)}; got {how!r} — right/full outer "
+            "would emit unmatched small-side rows once per salt"
+        )
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -29,8 +29,10 @@ from pyspark.sql.window import Window
 
 def frontier_order() -> list:
     """The deterministic crawl order: depth asc, priority desc,
-    url_hash asc (built lazily — Column exprs need a live session)."""
-    return [F.asc("depth"), F.desc("priority"), F.asc("url_hash")]
+    url_hash asc, url asc (built lazily — Column exprs need a live
+    session). The url tiebreak matches the oracle's sort tuple and
+    makes the order total even under a url_hash collision."""
+    return [F.asc("depth"), F.desc("priority"), F.asc("url_hash"), F.asc("url")]
 
 
 def with_robots_blocked(
@@ -59,7 +61,11 @@ def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-SMALL_BATCH_ROWS = 5_000_000
+# Below this candidate count a single-partition window ranks the batch
+# in ONE extra shuffle (fewer stages = lower per-batch floor); above
+# it, the serial sort becomes an Amdahl fraction at high parallelism
+# and the two-phase parallel range rank wins despite its extra stages.
+SMALL_BATCH_ROWS = 100_000
 
 
 def select_batch(
@@ -112,20 +118,29 @@ def add_global_seq(df: DataFrame, n_parts: int | None = None) -> DataFrame:
     shift each partition's ranks by the cumulative counts of the
     partitions before it. The offsets are a cumulative-sum window over
     the tiny (n_parts-row) per-partition count table, broadcast-joined
-    back — Catalyst's exchange reuse shares the one range shuffle
-    between the count branch and the rank branch, so the whole thing
-    is a single pass with zero driver-side collects (the round-trip
-    was the crawl loop's measured per-batch latency floor).
+    back — no driver-side collect (the round-trip was the crawl
+    loop's measured per-batch latency floor).
 
-    The order is a pure function of the data — range boundaries only
-    affect which task computes a rank, never the rank itself — so
-    crawl-order parity holds at any parallelism (the north-rule
-    requirement)."""
+    The ranged frame is ``localCheckpoint``-ed before fanning into the
+    count and rank branches. This is LOAD-BEARING: the range
+    exchange's boundary sampling runs over its child's row order,
+    which after an upstream shuffle is nondeterministic — two
+    independent evaluations of the exchange can pick DIFFERENT
+    boundaries, making per-partition offsets inconsistent with the
+    ranks (duplicate/gapped seq; observed at 150k rows). With the
+    checkpoint both branches read one materialized partitioning, and
+    boundaries then only affect which task computes a rank, never the
+    rank itself — so crawl-order parity holds at any parallelism (the
+    north-rule requirement)."""
     if n_parts is None:
         n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(
-        n_parts, F.col("depth").asc(), F.col("priority").desc(), F.col("url_hash").asc()
-    ).withColumn("__pid", F.spark_partition_id())
+        n_parts,
+        F.col("depth").asc(),
+        F.col("priority").desc(),
+        F.col("url_hash").asc(),
+        F.col("url").asc(),
+    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint()
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
