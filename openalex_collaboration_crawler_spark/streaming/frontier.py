@@ -321,122 +321,145 @@ class CrawlEngine:
         pending = self._load_pending(v)
 
         pending_prev = prev.get("pending_rows")
-        batch = select_batch(
-            pending,
-            self.politeness,
-            self.robots,
-            batch_cap=self.batch_cap,
-            default_per_host=self.default_per_host,
-            est_rows=int(pending_prev) if pending_prev is not None else None,
-        ).select("seq", "url", "url_hash", "host", "depth", "priority")
-        batch = batch.cache()
+        # All shared intermediates below are LAZY localCheckpoints, not
+        # .cache(): a checkpoint pins ONE compiled physical plan (one
+        # RDD), so (a) every consumer job shares the same shuffle
+        # stages at the RDD level — concurrent jobs dedup work through
+        # the DAGScheduler instead of re-executing the subtree below a
+        # cache point, and (b) nondeterministic re-evaluation (the
+        # range-boundary-sampling hazard) is structurally impossible.
+        # AQE is switched off for these internal plans: with AQE, an
+        # AdaptiveSparkPlan materializes its shuffle stages EAGERLY
+        # the moment toRdd is taken (inside localCheckpoint), which
+        # would serialize the heavy work before the concurrent wave;
+        # classic compilation keeps the whole DAG lazy. The loop pins
+        # its shuffle partitioning anyway (determinism), so AQE
+        # coalescing is not load-bearing here.
+        aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            batch = select_batch(
+                pending,
+                self.politeness,
+                self.robots,
+                batch_cap=self.batch_cap,
+                default_per_host=self.default_per_host,
+                est_rows=int(pending_prev) if pending_prev is not None else None,
+            ).select("seq", "url", "url_hash", "host", "depth", "priority")
+            batch = batch.localCheckpoint(eager=False)
 
-        # fetch + decode + parse (one shuffle: join on canonical url)
-        fetched = batch.join(self._pages(), batch.url == F.col("canonical_url"), "left").select(
-            "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
-        )
-        parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA).cache()
-
-        results = parsed.select(
-            "seq",
-            "url",
-            "url_hash",
-            "host",
-            "depth",
-            "text",
-            "lang",
-            F.size("links").alias("n_links"),
-            "parse_ok",
-            "text_match",
-            F.lit(batch_id).alias("batch_id"),
-        )
-
-        # discover links → canonical → dedup (bloom prefilter + exact).
-        # Robots-blocked discoveries enter SEEN (never re-considered)
-        # but not PENDING (they can never be fetched) — observably
-        # identical to filtering at select time, and it keeps the
-        # pending_rows counter exact.
-        discovered = (
-            parsed.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
-            .select(
-                canonicalize_url("raw_url").alias("url"),
-                (F.col("pdepth") + 1).cast("int").alias("depth"),
+            # fetch + decode + parse (one shuffle: join on canonical url)
+            fetched = batch.join(self._pages(), batch.url == F.col("canonical_url"), "left").select(
+                "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
             )
-            .groupBy("url")
-            .agg(F.min("depth").alias("depth"))
-            .select(
+            parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA).localCheckpoint(
+                eager=False
+            )
+
+            results = parsed.select(
+                "seq",
                 "url",
-                url_hash("url").alias("url_hash"),
-                url_host("url").alias("host"),
-                F.col("depth"),
-                F.lit(0).cast("int").alias("priority"),
+                "url_hash",
+                "host",
+                "depth",
+                "text",
+                "lang",
+                F.size("links").alias("n_links"),
+                "parse_ok",
+                "text_match",
+                F.lit(batch_id).alias("batch_id"),
             )
-        )
-        if self.robots is not None:
-            discovered = with_robots_blocked(discovered, self.robots, "__blocked")
-        else:
-            discovered = discovered.withColumn("__blocked", F.lit(False))
 
-        seen_union = self._load_seen_union(v)
-        seen_rows = int(prev.get("seen_rows", 0))
-        bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
-        if bloom_mode:
-            bloom = self._ensure_bloom(v, seen_union).cache()
-            # survivor-set size is bounded by last batch's discovered
-            # count — choose the join strategy from committed metrics
-            # (no extra job): broadcast when small, shuffle when a
-            # recrawl-heavy batch could OOM the broadcast.
-            survivor_join = (
-                "shuffle"
-                if int(prev.get("discovered", 0)) > self.survivor_broadcast_limit
-                else "broadcast"
-            )
-            marked = mark_new_against_seen(
-                discovered,
-                seen_union,
-                bloom,
-                n_parts=self.bloom_parts,
-                survivor_join=survivor_join,
-            ).cache()
-        else:
-            # small seen set: ONE co-partitioned join beats the Bloom
-            # machinery's serial broadcast/python job launches
-            bloom = None
-            marked = (
-                discovered.join(
-                    seen_union.withColumn("__m", F.lit(1)), "url_hash", "left"
+            # discover links → canonical → dedup (bloom prefilter + exact).
+            # Robots-blocked discoveries enter SEEN (never re-considered)
+            # but not PENDING (they can never be fetched) — observably
+            # identical to filtering at select time, and it keeps the
+            # pending_rows counter exact.
+            discovered = (
+                parsed.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
+                .select(
+                    canonicalize_url("raw_url").alias("url"),
+                    (F.col("pdepth") + 1).cast("int").alias("depth"),
                 )
-                .withColumn("is_new", F.col("__m").isNull())
-                .drop("__m")
-            ).cache()
-        enqueue_cols = [
-            F.col("url"),
-            F.col("url_hash"),
-            F.col("host"),
-            F.col("depth"),
-            F.col("priority"),
-            F.lit(batch_id).cast("int").alias("batch_enqueued"),
-        ]
-        new_urls = marked.where("is_new").select(*enqueue_cols)
-        new_pending = marked.where(F.col("is_new") & ~F.col("__blocked")).select(*enqueue_cols)
-        # pending shrinks by the batch, grows by the new fetchable urls
-        next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
-            new_pending
-        )
+                .groupBy("url")
+                .agg(F.min("depth").alias("depth"))
+                .select(
+                    "url",
+                    url_hash("url").alias("url_hash"),
+                    url_host("url").alias("host"),
+                    F.col("depth"),
+                    F.lit(0).cast("int").alias("priority"),
+                )
+            )
+            if self.robots is not None:
+                discovered = with_robots_blocked(discovered, self.robots, "__blocked")
+            else:
+                discovered = discovered.withColumn("__blocked", F.lit(False))
 
-        # Job structure per batch (measured — see BENCH/BASELINE.md):
-        #  1. ONE metrics aggregation materializes the batch+parsed
-        #     caches and returns the fetch counters,
-        #  2. ONE dedup aggregation materializes the marked cache,
-        #  3. then all state writes run as CONCURRENT Spark jobs over
-        #     pure cache reads (wall time = max, not sum).
-        # Caches must be materialized by exactly one job each BEFORE
-        # fan-out: concurrent jobs racing on an unmaterialized cache
-        # each re-execute the shuffle stages BELOW the cache point
-        # (partition-level cache locking dedups only the final RDD),
-        # which measured ~3× slower than this serial-then-fan-out
-        # shape. The _commits marker is still written strictly last =
-        # the atomic commit point.
+            seen_union = self._load_seen_union(v)
+            seen_rows = int(prev.get("seen_rows", 0))
+            bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
+            if bloom_mode:
+                bloom = self._ensure_bloom(v, seen_union).cache()
+                # survivor-set size is bounded by last batch's discovered
+                # count — choose the join strategy from committed metrics
+                # (no extra job): broadcast when small, shuffle when a
+                # recrawl-heavy batch could OOM the broadcast.
+                survivor_join = (
+                    "shuffle"
+                    if int(prev.get("discovered", 0)) > self.survivor_broadcast_limit
+                    else "broadcast"
+                )
+                marked = mark_new_against_seen(
+                    discovered,
+                    seen_union,
+                    bloom,
+                    n_parts=self.bloom_parts,
+                    survivor_join=survivor_join,
+                ).localCheckpoint(eager=False)
+            else:
+                # small seen set: ONE co-partitioned join beats the Bloom
+                # machinery's serial broadcast/python job launches
+                bloom = None
+                marked = (
+                    discovered.join(
+                        seen_union.withColumn("__m", F.lit(1)), "url_hash", "left"
+                    )
+                    .withColumn("is_new", F.col("__m").isNull())
+                    .drop("__m")
+                ).localCheckpoint(eager=False)
+            enqueue_cols = [
+                F.col("url"),
+                F.col("url_hash"),
+                F.col("host"),
+                F.col("depth"),
+                F.col("priority"),
+                F.lit(batch_id).cast("int").alias("batch_enqueued"),
+            ]
+            new_urls = marked.where("is_new").select(*enqueue_cols)
+            new_pending = marked.where(F.col("is_new") & ~F.col("__blocked")).select(*enqueue_cols)
+            # pending shrinks by the batch, grows by the new fetchable urls
+            next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
+                new_pending
+            )
+        finally:
+            # construction of the checkpointed frames is done — restore
+            # AQE for the wave's job-side plans (they sit above the
+            # pinned RDDs)
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+        # ALL per-batch jobs (metric aggregations + state writes) run
+        # in ONE concurrent wave. This is safe and duplication-free
+        # because every shared intermediate is a localCheckpoint — a
+        # single RDD whose partitions and upstream shuffle stages are
+        # deduplicated by the DAGScheduler across concurrent jobs
+        # (unlike .cache(), where each job compiles its own physical
+        # plan and races re-execute the subtree below the cache
+        # point — measured ~3× waste). Wall time per batch = the
+        # longest single job, with parse, dedup and I/O overlapped.
+        # The _commits marker is still written strictly last = the
+        # atomic commit point.
         from concurrent.futures import ThreadPoolExecutor
 
         def timed(fn):
@@ -451,20 +474,32 @@ class CrawlEngine:
 
             return wrapper
 
-        def j_agg():
-            return parsed.agg(
+        def j_metrics():
+            """ONE job materializes BOTH checkpointed frames (parsed,
+            then marked, whose lineage includes parsed) and returns all
+            batch counters: a union of the two one-row aggregates, so
+            the phases pipeline inside a single job instead of paying
+            two job-launch round-trips."""
+            a = parsed.agg(
                 F.count("*").alias("fetched"),
                 F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
                 F.sum(F.col("text_match").cast("int")).alias("text_match"),
-            ).collect()[0]
-
-        def j_counts():
-            row = marked.agg(
-                F.count("*").alias("nd"),
-                F.sum(F.col("is_new").cast("int")).alias("nn"),
-                F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("kept"),
-            ).collect()[0]
-            return int(row["nd"]), int(row["nn"] or 0), int(row["kept"] or 0)
+            ).select(F.lit("parse").alias("k"), "fetched", "parsed_ok", "text_match")
+            b = marked.agg(
+                F.count("*").alias("fetched"),  # column slots reused
+                F.sum(F.col("is_new").cast("int")).alias("parsed_ok"),
+                F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("text_match"),
+            ).select(F.lit("dedup").alias("k"), "fetched", "parsed_ok", "text_match")
+            rows = {r["k"]: r for r in a.unionByName(b).collect()}
+            pa, de = rows["parse"], rows["dedup"]
+            return (
+                int(pa["fetched"]),
+                int(pa["parsed_ok"] or 0),
+                int(pa["text_match"] or 0),
+                int(de["fetched"]),
+                int(de["parsed_ok"] or 0),
+                int(de["text_match"] or 0),
+            )
 
         def j_results():
             results.write.mode("overwrite").parquet(
@@ -492,31 +527,28 @@ class CrawlEngine:
         def j_part_metrics():
             self._write_partition_metrics(parsed, batch_id)
 
-        agg = timed(j_agg)()
-        n_fetched = int(agg["fetched"])
+        # Phase 1 (serial): ONE metrics job materializes the
+        # checkpointed parsed+marked RDDs — exactly one materializer
+        # per shared RDD, so nothing races (concurrent jobs on an
+        # unmaterialized shared RDD block each other at the storage
+        # layer while occupying task slots — measured slower at every
+        # parallelism). Phase 2: all state writes fan out concurrently
+        # over the now-stored RDDs (wall = max, not sum).
+        n_fetched, parsed_ok, text_match, n_discovered, n_new, n_kept = timed(j_metrics)()
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            writes = [
+                pool.submit(timed(j))
+                for j in (j_results, j_pending, j_seen, j_bloom, j_part_metrics)
+            ]
+            for f in writes:
+                f.result()
+
+        if bloom is not None:
+            bloom.unpersist()
         if n_fetched == 0:
             # nothing eligible (e.g. legacy state with robots-blocked
             # pending rows): leave the last commit in place
-            for df in (batch, parsed, marked):
-                df.unpersist()
-            if bloom is not None:
-                bloom.unpersist()
             return {"batch": batch_id, "fetched": 0, "done": True}
-        # wave 1: the dedup aggregation (materializes `marked`) overlaps
-        # with the parsed-only writes; wave 2: the writes that read the
-        # now-cached `marked`.
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_counts = pool.submit(timed(j_counts))
-            wave1 = [pool.submit(timed(j)) for j in (j_results, j_part_metrics)]
-            n_discovered, n_new, n_kept = f_counts.result()
-            wave2 = [pool.submit(timed(j)) for j in (j_pending, j_seen, j_bloom)]
-            for f in wave1 + wave2:
-                f.result()
-
-        for df in (batch, parsed, marked):
-            df.unpersist()
-        if bloom is not None:
-            bloom.unpersist()
 
         pending_rows = (
             int(pending_prev) - n_fetched + n_kept if pending_prev is not None else None
@@ -524,8 +556,8 @@ class CrawlEngine:
         metrics = {
             "batch": batch_id,
             "fetched": n_fetched,
-            "parsed_ok": int(agg["parsed_ok"] or 0),
-            "text_match": int(agg["text_match"] or 0),
+            "parsed_ok": parsed_ok,
+            "text_match": text_match,
             "discovered": int(n_discovered),
             "new_urls": int(n_new),
             "deduped": int(n_discovered - n_new),

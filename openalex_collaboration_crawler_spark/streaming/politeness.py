@@ -140,7 +140,7 @@ def add_global_seq(df: DataFrame, n_parts: int | None = None) -> DataFrame:
         F.col("priority").desc(),
         F.col("url_hash").asc(),
         F.col("url").asc(),
-    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
