@@ -64,9 +64,9 @@ def crawl_bench(spark, workdir: str) -> tuple[float, float, int]:
         spark=spark,
         state_dir=os.path.join(workdir, "crawl_state"),
         pages_path=pages_path,
-        politeness=build_politeness(spark, default_per_batch=1 << 20, hot_per_batch=1 << 20),
+        politeness=build_politeness(spark, default_per_batch=(1 << 31) - 1, hot_per_batch=(1 << 31) - 1),
         robots=None,
-        default_per_host=1 << 20,
+        default_per_host=(1 << 31) - 1,
         bloom_parts=16,
     )
     # enough seeds that the frontier saturates in a few large batches —

@@ -62,6 +62,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
 from openalex_collaboration_crawler_spark.functions.url import (
     canonicalize_url,
     url_hash,
@@ -87,6 +88,11 @@ PARSE_SCHEMA = (
     "seq long, url string, url_hash long, host string, depth int, "
     "text string, lang string, links array<string>, parse_ok boolean, "
     "text_match boolean"
+)
+RESULTS_SCHEMA = (
+    "seq long, url string, url_hash long, host string, depth int, "
+    "text string, lang string, links array<string>, n_links int, "
+    "parse_ok boolean, text_match boolean, batch_id int"
 )
 
 
@@ -167,6 +173,19 @@ class CrawlEngine:
     # millions of maybe-seen survivors, which must never be broadcast.
     survivor_broadcast_limit: int = 2_000_000
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
+    _min_cap: int | None = field(default=None, repr=False)
+
+    def _politeness_min_cap(self) -> int:
+        """Smallest per-host budget (politeness table ∪ default),
+        collected ONCE (the table is dimension-sized — the reference's
+        politeness analogue is a broadcast cache). Used to prove a
+        batch's budgets cannot bind: min_cap ≥ pending rows ⇒ no host
+        can exceed its cap ⇒ the per-host capping window (a hot-host
+        single-task sort) is provably a no-op and is skipped."""
+        if self._min_cap is None:
+            vals = [int(r["max_per_batch"]) for r in self.politeness.collect()]
+            self._min_cap = min([self.default_per_host, *vals])
+        return self._min_cap
 
     # ------------------------------------------------------------ state io
 
@@ -278,23 +297,38 @@ class CrawlEngine:
         """The 'network': canonical_url → one deterministic snapshot.
 
         Canonicalization happens scan-side; duplicate snapshots (messy
-        URL variants) resolve by min (warc_ts, html)."""
+        URL variants) resolve by min (warc_ts, html). Prepared ONCE to
+        a scratch parquet (with the url_hash join key), NOT a heap
+        cache — the corpus-sized table must never live deserialized in
+        executor memory (at 100 TB it could not, and locally a 3M-row
+        heap cache of html bytes measured as multi-GB GC churn)."""
         if self._pages_prepared is not None:
             return self._pages_prepared
         from pyspark.sql.window import Window
 
-        raw = self.spark.read.parquet(self.pages_path)
-        keyed = raw.select(
-            canonicalize_url("url").alias("canonical_url"),
-            "warc_ts",
-            "html",
-            F.col("text").alias("text_golden"),
-            "lang",
-        )
-        w = Window.partitionBy("canonical_url").orderBy("warc_ts", "html")
-        self._pages_prepared = (
-            keyed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
-        ).cache()
+        # derived purely from the input table → lives NEXT TO it and is
+        # reused across runs/engines (like a one-time table-format
+        # conversion, not crawl work)
+        path = self.pages_path.rstrip("/") + "_prepared"
+        if not os.path.isdir(path):
+            raw = self.spark.read.parquet(self.pages_path)
+            keyed = raw.select(
+                canonicalize_url("url").alias("canonical_url"),
+                "warc_ts",
+                "html",
+                F.col("text").alias("text_golden"),
+                "lang",
+            )
+            w = Window.partitionBy("canonical_url").orderBy("warc_ts", "html")
+            (
+                keyed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", "warc_ts")
+                .withColumn("url_hash", portable_hash64(F.col("canonical_url")))
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        self._pages_prepared = self.spark.read.parquet(path)
         return self._pages_prepared
 
     # ---------------------------------------------------------- one batch
@@ -321,146 +355,74 @@ class CrawlEngine:
         pending = self._load_pending(v)
 
         pending_prev = prev.get("pending_rows")
-        # All shared intermediates below are LAZY localCheckpoints, not
-        # .cache(): a checkpoint pins ONE compiled physical plan (one
-        # RDD), so (a) every consumer job shares the same shuffle
-        # stages at the RDD level — concurrent jobs dedup work through
-        # the DAGScheduler instead of re-executing the subtree below a
-        # cache point, and (b) nondeterministic re-evaluation (the
-        # range-boundary-sampling hazard) is structurally impossible.
-        # AQE is switched off for these internal plans: with AQE, an
-        # AdaptiveSparkPlan materializes its shuffle stages EAGERLY
-        # the moment toRdd is taken (inside localCheckpoint), which
-        # would serialize the heavy work before the concurrent wave;
-        # classic compilation keeps the whole DAG lazy. The loop pins
-        # its shuffle partitioning anyway (determinism), so AQE
-        # coalescing is not load-bearing here.
-        aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            batch = select_batch(
-                pending,
-                self.politeness,
-                self.robots,
-                batch_cap=self.batch_cap,
-                default_per_host=self.default_per_host,
-                est_rows=int(pending_prev) if pending_prev is not None else None,
-            ).select("seq", "url", "url_hash", "host", "depth", "priority")
-            batch = batch.localCheckpoint(eager=False)
+        # Intermediate-sharing strategy (each choice measured — see
+        # BENCH/BASELINE.md):
+        #  - the RANGE-RANKED frame inside select_batch is a lazy
+        #    localCheckpoint: the range exchange's boundary sampling is
+        #    order-sensitive, so its RDD must be pinned once (the
+        #    determinism hazard); small, freed by end-of-batch gc.
+        #  - the decoded batch is materialized BY THE RESULTS WRITE
+        #    itself (phase 1): the parquet file then backs every other
+        #    consumer via a column-pruned re-read (the dedup branch
+        #    reads only `links`+`depth`). Holding the decoded text in a
+        #    deserialized executor cache instead measured multi-GB heap
+        #    + GC churn at million-row batches. Parse metrics ride the
+        #    write via ``Observation`` — exactly ONE action runs on
+        #    that plan, so the observed counters are complete.
+        #  - `marked` (dedup output; small columns) uses persist() +
+        #    explicit unpersist, materialized by exactly one
+        #    aggregation job (phase 2) before the write fan-out
+        #    (concurrent jobs racing on an unmaterialized cache
+        #    re-execute the subtree below the cache point — ~3× waste).
+        est = int(pending_prev) if pending_prev is not None else None
+        batch = select_batch(
+            pending,
+            self.politeness,
+            self.robots,
+            batch_cap=self.batch_cap,
+            default_per_host=self.default_per_host,
+            est_rows=est,
+            skip_caps=est is not None and self._politeness_min_cap() >= est,
+        ).select("seq", "url", "url_hash", "host", "depth", "priority")
+        batch = batch.persist()
 
-            # fetch + decode + parse (one shuffle: join on canonical url)
-            fetched = batch.join(self._pages(), batch.url == F.col("canonical_url"), "left").select(
-                "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
-            )
-            parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA).localCheckpoint(
-                eager=False
-            )
+        # fetch + decode + parse. The batch's url-hash SET is broadcast
+        # (8 bytes/URL) into a semi-join that prefilters the corpus
+        # scan, so only HIT rows (≤ batch size) ever shuffle — without
+        # it the full pages table (the 100-TB analogue) would shuffle
+        # through the join EVERY batch. The exact left join then runs
+        # on two batch-sized sides.
+        hits = self._pages().join(
+            F.broadcast(batch.select("url_hash")), "url_hash", "left_semi"
+        ).drop("url_hash")
+        fetched = batch.join(hits, batch.url == F.col("canonical_url"), "left").select(
+            "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
+        )
+        parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA)
 
-            results = parsed.select(
-                "seq",
-                "url",
-                "url_hash",
-                "host",
-                "depth",
-                "text",
-                "lang",
-                F.size("links").alias("n_links"),
-                "parse_ok",
-                "text_match",
-                F.lit(batch_id).alias("batch_id"),
-            )
+        from pyspark.sql import Observation
 
-            # discover links → canonical → dedup (bloom prefilter + exact).
-            # Robots-blocked discoveries enter SEEN (never re-considered)
-            # but not PENDING (they can never be fetched) — observably
-            # identical to filtering at select time, and it keeps the
-            # pending_rows counter exact.
-            discovered = (
-                parsed.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
-                .select(
-                    canonicalize_url("raw_url").alias("url"),
-                    (F.col("pdepth") + 1).cast("int").alias("depth"),
-                )
-                .groupBy("url")
-                .agg(F.min("depth").alias("depth"))
-                .select(
-                    "url",
-                    url_hash("url").alias("url_hash"),
-                    url_host("url").alias("host"),
-                    F.col("depth"),
-                    F.lit(0).cast("int").alias("priority"),
-                )
-            )
-            if self.robots is not None:
-                discovered = with_robots_blocked(discovered, self.robots, "__blocked")
-            else:
-                discovered = discovered.withColumn("__blocked", F.lit(False))
-
-            seen_union = self._load_seen_union(v)
-            seen_rows = int(prev.get("seen_rows", 0))
-            bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
-            if bloom_mode:
-                bloom = self._ensure_bloom(v, seen_union).cache()
-                # survivor-set size is bounded by last batch's discovered
-                # count — choose the join strategy from committed metrics
-                # (no extra job): broadcast when small, shuffle when a
-                # recrawl-heavy batch could OOM the broadcast.
-                survivor_join = (
-                    "shuffle"
-                    if int(prev.get("discovered", 0)) > self.survivor_broadcast_limit
-                    else "broadcast"
-                )
-                marked = mark_new_against_seen(
-                    discovered,
-                    seen_union,
-                    bloom,
-                    n_parts=self.bloom_parts,
-                    survivor_join=survivor_join,
-                ).localCheckpoint(eager=False)
-            else:
-                # small seen set: ONE co-partitioned join beats the Bloom
-                # machinery's serial broadcast/python job launches
-                bloom = None
-                marked = (
-                    discovered.join(
-                        seen_union.withColumn("__m", F.lit(1)), "url_hash", "left"
-                    )
-                    .withColumn("is_new", F.col("__m").isNull())
-                    .drop("__m")
-                ).localCheckpoint(eager=False)
-            enqueue_cols = [
-                F.col("url"),
-                F.col("url_hash"),
-                F.col("host"),
-                F.col("depth"),
-                F.col("priority"),
-                F.lit(batch_id).cast("int").alias("batch_enqueued"),
-            ]
-            new_urls = marked.where("is_new").select(*enqueue_cols)
-            new_pending = marked.where(F.col("is_new") & ~F.col("__blocked")).select(*enqueue_cols)
-            # pending shrinks by the batch, grows by the new fetchable urls
-            next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
-                new_pending
-            )
-        finally:
-            # construction of the checkpointed frames is done — restore
-            # AQE for the wave's job-side plans (they sit above the
-            # pinned RDDs)
-            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-
-
-        # ALL per-batch jobs (metric aggregations + state writes) run
-        # in ONE concurrent wave. This is safe and duplication-free
-        # because every shared intermediate is a localCheckpoint — a
-        # single RDD whose partitions and upstream shuffle stages are
-        # deduplicated by the DAGScheduler across concurrent jobs
-        # (unlike .cache(), where each job compiles its own physical
-        # plan and races re-execute the subtree below the cache
-        # point — measured ~3× waste). Wall time per batch = the
-        # longest single job, with parse, dedup and I/O overlapped.
-        # The _commits marker is still written strictly last = the
-        # atomic commit point.
-        from concurrent.futures import ThreadPoolExecutor
+        obs = Observation()
+        results = parsed.select(
+            "seq",
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            "text",
+            "lang",
+            "links",
+            F.size("links").alias("n_links"),
+            "parse_ok",
+            "text_match",
+            F.lit(batch_id).alias("batch_id"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
+            F.sum(F.col("text_match").cast("int")).alias("text_match"),
+        )
+        results_path = os.path.join(self.state_dir, "results", f"batch={batch_id}")
 
         def timed(fn):
             if not _debug:
@@ -474,37 +436,101 @@ class CrawlEngine:
 
             return wrapper
 
-        def j_metrics():
-            """ONE job materializes BOTH checkpointed frames (parsed,
-            then marked, whose lineage includes parsed) and returns all
-            batch counters: a union of the two one-row aggregates, so
-            the phases pipeline inside a single job instead of paying
-            two job-launch round-trips."""
-            a = parsed.agg(
-                F.count("*").alias("fetched"),
-                F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
-                F.sum(F.col("text_match").cast("int")).alias("text_match"),
-            ).select(F.lit("parse").alias("k"), "fetched", "parsed_ok", "text_match")
-            b = marked.agg(
-                F.count("*").alias("fetched"),  # column slots reused
-                F.sum(F.col("is_new").cast("int")).alias("parsed_ok"),
-                F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("text_match"),
-            ).select(F.lit("dedup").alias("k"), "fetched", "parsed_ok", "text_match")
-            rows = {r["k"]: r for r in a.unionByName(b).collect()}
-            pa, de = rows["parse"], rows["dedup"]
-            return (
-                int(pa["fetched"]),
-                int(pa["parsed_ok"] or 0),
-                int(pa["text_match"] or 0),
-                int(de["fetched"]),
-                int(de["parsed_ok"] or 0),
-                int(de["text_match"] or 0),
-            )
+        # ---- phase 1: decode once, straight into the results sink
+        def j_parse_write():
+            results.write.mode("overwrite").parquet(results_path)
 
-        def j_results():
-            results.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, "results", f"batch={batch_id}")
+        timed(j_parse_write)()
+        m_parse = obs.get
+        n_fetched = int(m_parse["fetched"])
+        parsed_ok = int(m_parse["parsed_ok"] or 0)
+        text_match = int(m_parse["text_match"] or 0)
+
+        res = self.spark.read.schema(RESULTS_SCHEMA).parquet(results_path)
+
+        # discover links → canonical → dedup (bloom prefilter + exact).
+        # Robots-blocked discoveries enter SEEN (never re-considered)
+        # but not PENDING (they can never be fetched) — observably
+        # identical to filtering at select time, and it keeps the
+        # pending_rows counter exact.
+        discovered = (
+            res.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
+            .select(
+                canonicalize_url("raw_url").alias("url"),
+                (F.col("pdepth") + 1).cast("int").alias("depth"),
             )
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+            .select(
+                "url",
+                url_hash("url").alias("url_hash"),
+                url_host("url").alias("host"),
+                F.col("depth"),
+                F.lit(0).cast("int").alias("priority"),
+            )
+        )
+        if self.robots is not None:
+            discovered = with_robots_blocked(discovered, self.robots, "__blocked")
+        else:
+            discovered = discovered.withColumn("__blocked", F.lit(False))
+
+        seen_union = self._load_seen_union(v)
+        seen_rows = int(prev.get("seen_rows", 0))
+        bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
+        if bloom_mode:
+            bloom = self._ensure_bloom(v, seen_union).cache()
+            # survivor-set size is bounded by last batch's discovered
+            # count — choose the join strategy from committed metrics
+            # (no extra job): broadcast when small, shuffle when a
+            # recrawl-heavy batch could OOM the broadcast.
+            survivor_join = (
+                "shuffle"
+                if int(prev.get("discovered", 0)) > self.survivor_broadcast_limit
+                else "broadcast"
+            )
+            marked = mark_new_against_seen(
+                discovered,
+                seen_union,
+                bloom,
+                n_parts=self.bloom_parts,
+                survivor_join=survivor_join,
+            ).persist()
+        else:
+            # small seen set: ONE co-partitioned join beats the Bloom
+            # machinery's serial broadcast/python job launches
+            bloom = None
+            marked = (
+                discovered.join(
+                    seen_union.withColumn("__m", F.lit(1)), "url_hash", "left"
+                )
+                .withColumn("is_new", F.col("__m").isNull())
+                .drop("__m")
+            ).persist()
+        enqueue_cols = [
+            F.col("url"),
+            F.col("url_hash"),
+            F.col("host"),
+            F.col("depth"),
+            F.col("priority"),
+            F.lit(batch_id).cast("int").alias("batch_enqueued"),
+        ]
+        new_urls = marked.where("is_new").select(*enqueue_cols)
+        new_pending = marked.where(F.col("is_new") & ~F.col("__blocked")).select(*enqueue_cols)
+        # pending shrinks by the batch, grows by the new fetchable urls
+        next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
+            new_pending
+        )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # ---- phase 2: ONE aggregation materializes `marked`
+        def j_dedup_metrics():
+            row = marked.agg(
+                F.count("*").alias("nd"),
+                F.sum(F.col("is_new").cast("int")).alias("nn"),
+                F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("kept"),
+            ).collect()[0]
+            return int(row["nd"]), int(row["nn"] or 0), int(row["kept"] or 0)
 
         def j_pending():
             next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
@@ -525,26 +551,27 @@ class CrawlEngine:
                 ).write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
 
         def j_part_metrics():
-            self._write_partition_metrics(parsed, batch_id)
+            self._write_partition_metrics(res, batch_id)
 
-        # Phase 1 (serial): ONE metrics job materializes the
-        # checkpointed parsed+marked RDDs — exactly one materializer
-        # per shared RDD, so nothing races (concurrent jobs on an
-        # unmaterialized shared RDD block each other at the storage
-        # layer while occupying task slots — measured slower at every
-        # parallelism). Phase 2: all state writes fan out concurrently
-        # over the now-stored RDDs (wall = max, not sum).
-        n_fetched, parsed_ok, text_match, n_discovered, n_new, n_kept = timed(j_metrics)()
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        n_discovered, n_new, n_kept = timed(j_dedup_metrics)()
+        # ---- phase 3: state writes fan out concurrently (wall = max)
+        with ThreadPoolExecutor(max_workers=4) as pool:
             writes = [
                 pool.submit(timed(j))
-                for j in (j_results, j_pending, j_seen, j_bloom, j_part_metrics)
+                for j in (j_pending, j_seen, j_bloom, j_part_metrics)
             ]
             for f in writes:
                 f.result()
 
+        for df in (batch, marked):
+            df.unpersist()
         if bloom is not None:
             bloom.unpersist()
+        # release the per-batch checkpointed range RDD promptly (the
+        # ContextCleaner frees it once the py4j reference drops)
+        import gc as _gc
+
+        _gc.collect()
         if n_fetched == 0:
             # nothing eligible (e.g. legacy state with robots-blocked
             # pending rows): leave the last commit in place

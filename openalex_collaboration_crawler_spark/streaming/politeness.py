@@ -75,6 +75,7 @@ def select_batch(
     batch_cap: int = 1 << 30,
     default_per_host: int = 8,
     est_rows: int | None = None,
+    skip_caps: bool = False,
 ) -> DataFrame:
     """Pick this micro-batch's fetch set, deterministically.
 
@@ -89,17 +90,28 @@ def select_batch(
     the politeness-capped set in ONE extra shuffle; above it the
     two-phase parallel range rank (:func:`add_global_seq`) keeps every
     task bounded. Both produce the identical ``seq`` — the order is a
-    pure function of the data (north rule)."""
+    pure function of the data (north rule).
+
+    ``skip_caps=True`` asserts that no per-host budget can bind (the
+    caller proved every cap ≥ the candidate count) and skips the
+    per-host capping window entirely. The window partitions by host —
+    exactly the skew axis — so on a frontier where one hot host owns
+    30% of the rows it is a single-task sort that scales with DATA
+    but not with CORES; eliding it when the budget provably cannot
+    bind removes that serial fraction."""
     cand = pending if robots is None else robots_filter(pending, robots)
-    cand = cand.join(F.broadcast(politeness), "host", "left").withColumn(
-        "__cap", F.coalesce(F.col("max_per_batch"), F.lit(default_per_host))
-    )
-    w_host = Window.partitionBy("host").orderBy(*frontier_order())
-    per_host = (
-        cand.withColumn("__rn", F.row_number().over(w_host))
-        .where(F.col("__rn") <= F.col("__cap"))
-        .drop("__rn", "__cap", "max_per_batch")
-    )
+    if skip_caps:
+        per_host = cand
+    else:
+        cand = cand.join(F.broadcast(politeness), "host", "left").withColumn(
+            "__cap", F.coalesce(F.col("max_per_batch"), F.lit(default_per_host))
+        )
+        w_host = Window.partitionBy("host").orderBy(*frontier_order())
+        per_host = (
+            cand.withColumn("__rn", F.row_number().over(w_host))
+            .where(F.col("__rn") <= F.col("__cap"))
+            .drop("__rn", "__cap", "max_per_batch")
+        )
     if est_rows is not None and est_rows <= SMALL_BATCH_ROWS:
         w = Window.orderBy(*frontier_order())
         ranked = per_host.withColumn("seq", F.row_number().over(w) - 1)

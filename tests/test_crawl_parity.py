@@ -180,6 +180,35 @@ def test_survivor_shuffle_join_same_result(spark, world, oracle_run):
     assert eng.seen_hashes() == oracle_run.seen
 
 
+def test_unbounded_budget_skip_path(spark, world):
+    """With budgets provably non-binding the engine skips the per-host
+    capping window (the hot-host serial sort); the oracle still runs
+    its caps — results must be identical because the caps can't bind."""
+    big = (1 << 31) - 1
+    politeness = build_politeness(spark, default_per_batch=big, hot_per_batch=big)
+    eng = CrawlEngine(
+        spark=spark,
+        state_dir=str(world["root"] / "engine_nocap"),
+        pages_path=world["pages_path"],
+        politeness=politeness,
+        robots=world["robots"],
+        default_per_host=big,
+        bloom_parts=4,
+    )
+    eng.init_from_seeds(world["seeds"])
+    eng.run(max_batches=50)
+    orc = OracleCrawler.from_rows(
+        [r.asDict() for r in spark.read.parquet(world["pages_path"]).collect()],
+        [r.asDict() for r in politeness.collect()],
+        [r.asDict() for r in world["robots"].collect()],
+        default_per_host=big,
+    )
+    orc.seed([(r["url"], r["priority"]) for r in world["seeds"].collect()])
+    orc.run(max_batches=50)
+    assert eng.crawl_order() == orc.order
+    assert eng.seen_hashes() == orc.seen
+
+
 def test_robots_blocked_never_fetched(engine_run, spark):
     eng, _ = engine_run
     fetched_urls = [r["url"] for r in eng.results().select("url").collect()]

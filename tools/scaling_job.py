@@ -60,9 +60,9 @@ def main() -> None:
         spark=spark,
         state_dir=state_dir,
         pages_path=pages_path,
-        politeness=build_politeness(spark, 1 << 20, 1 << 20),
+        politeness=build_politeness(spark, (1 << 31) - 1, (1 << 31) - 1),
         robots=None,
-        default_per_host=1 << 20,
+        default_per_host=(1 << 31) - 1,
         bloom_parts=16,
     )
     # many seeds → the frontier saturates in a few LARGE batches, so the
