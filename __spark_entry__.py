@@ -450,6 +450,21 @@ SELECT a AS node, min(b) AS component FROM reach GROUP BY a
 """
 
 
+def _q_connected_components_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labels as `connected_components`, computed with
+    the O(log n)-round large-star/small-star alternation — the
+    100-TB-scale strategy (min-label propagation is O(diameter))."""
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    return GS.connected_components_lsss(w)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, _queries_vec(spark, sf_dir), k=5)
+
+
 def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
         F.col("weight") >= 2
@@ -868,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_pivot": _q_topk_pivot,
         "louvain": _q_louvain,
         "work_metadata": _q_work_metadata,
+        "connected_components_lsss": _q_connected_components_lsss,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "topic_normalize": _q_topic_normalize,
         "structural_stats": _q_structural_stats,
         "null_model_stats": _q_null_model,
@@ -970,6 +987,10 @@ GROUP BY 1, 2
         ),
         # louvain: no SQL oracle (iterative community detection) — rows-only
         "work_metadata": _WORK_METADATA_SQL,
+        "connected_components_lsss": _CC_SQL_TEMPLATE.format(
+            edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3"
+        ),
+        "ann_ivf_topk": SIM.ivf_topk_sql("embeddings", _QUERIES_VEC_SQL, k=5),
         "topic_normalize": TP.topic_category_distribution_sql(_raw_topics_sql(), k=5),
         "structural_stats": GS.structural_stats_sql(_WEIGHTED_SQL),
         "null_model_stats": GS.null_model_stats_sql(

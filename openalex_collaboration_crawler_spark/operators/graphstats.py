@@ -96,6 +96,99 @@ def n_connected_components(edges: DataFrame, a: str = "author1", b: str = "autho
     return connected_components(edges, a, b).select("component").distinct().count()
 
 
+def connected_components_lsss(
+    edges: DataFrame, a: str = "author1", b: str = "author2", max_rounds: int = 60
+) -> DataFrame:
+    """(node, component) via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds instead of min-label propagation's O(diameter),
+    the right plan when the graph may contain long paths at scale.
+
+    Per round: two groupBy shuffles (one per star op) + a distinct.
+    large-star hangs every neighbor LARGER than u off the minimum of
+    u's neighborhood; small-star re-hangs the SMALLER neighbors. The
+    alternation converges to a star forest whose centers are the
+    component minima. Convergence = the canonical edge set is exactly
+    unchanged (count + empty anti-join); ``max_rounds`` is a backstop
+    far above log2(n) for any real graph, and hitting it raises."""
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col(a) != F.col(b))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def edge_count(df: DataFrame) -> int:
+        return int(df.agg(F.count("*").alias("n")).collect()[0]["n"])
+
+    def same_edges(new: DataFrame, old: DataFrame, n_new: int, n_old: int) -> bool:
+        """EXACT set equality: equal counts + empty anti-join (new ⊆
+        old ∧ |new| = |old| ⇒ equal). A probabilistic checksum here
+        would risk stopping EARLY with wrong labels on a collision."""
+        if n_new != n_old:
+            return False
+        return new.join(old, ["u", "v"], "left_anti").limit(1).count() == 0
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", F.col("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient each edge from its larger endpoint
+        o = ed.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        hang = (
+            o.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        center = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            hang.unionByName(center)
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    n_prev = edge_count(e)
+    converged = False
+    for _ in range(max_rounds):
+        e_new = small_star(large_star(e)).localCheckpoint()
+        n_new = edge_count(e_new)
+        if same_edges(e_new, e, n_new, n_prev):
+            e = e_new
+            converged = True
+            break
+        e, n_prev = e_new, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_lsss did not converge in {max_rounds} rounds"
+        )
+    # star forest: every edge is (member, center=component min)
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+
+
 def disparity_backbone(
     weighted: DataFrame,
     threshold: float = 0.05,

@@ -213,6 +213,142 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector (unique ``key_col``) to its ``n_probe``
+    nearest coarse centroids (cosine; ties by cid asc). Centroids are
+    broadcast — the coarse codebook is tiny by construction."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("__sim"), F.asc("cid"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_probe)
+        .select(*vectors.columns, F.col("cid").alias(out_col))
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse codebook: the ``n_centroids`` corpus
+    vectors with the smallest portable hash of their id (a seeded
+    random sample reproducible in SQL; a k-means refinement is a
+    drop-in replacement — the IVF plumbing is identical)."""
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
+
+    w = Window.orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", portable_hash64(F.col(id_col).cast("string"), salt="ivf"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_centroids)
+        .select(F.col("__rk").alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus vectors are bucketed into coarse
+    cells (nearest centroid); each query probes its ``n_probe``
+    nearest cells and ranks only those cells' members — candidates =
+    |corpus| × (n_probe / n_centroids) instead of |corpus| × |queries|.
+
+    At 10^10 rows: centroids stay broadcast-sized (√n cells ≈ 10^5 ×
+    a few KB), the cell assignment is one scan + broadcast cross
+    score, and the candidate join shuffles on ``cell`` — the classic
+    IVF trade of recall for a bounded candidate set, deterministic
+    end-to-end (hash-seeded codebook, tie-broken ranking) so the
+    DuckDB oracle reproduces it exactly."""
+    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c_assigned = ivf_assign(
+        corpus.select(id_col, vec_col), cent, id_col, vec_col, "cell", n_probe=1
+    )
+    q_assigned = ivf_assign(queries, cent, "query_id", "query_vec", "cell", n_probe=n_probe)
+    joined = c_assigned.join(q_assigned, "cell").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col("query_vec")).alias("sim_raw"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim_raw", 6).alias("sim"), "rank")
+    )
+
+
+def ivf_topk_sql(
+    corpus_table: str,
+    queries_sql: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(f"CAST({id_col} AS VARCHAR)", salt="ivf")
+    sim_cv = cosine_sql(f"v.{vec_col}", "c.cvec")
+    sim_qv = cosine_sql("q.query_vec", "c.cvec")
+    sim_final = cosine_sql(f"ca.{vec_col}", "qa.query_vec")
+    return f"""
+WITH cent AS (
+  SELECT CAST(rk AS INT) AS cid, {vec_col} AS cvec FROM (
+    SELECT {id_col}, {vec_col},
+           row_number() OVER (ORDER BY {h} ASC, {id_col} ASC) AS rk
+    FROM {corpus_table}
+  ) WHERE rk <= {n_centroids}
+),
+c_assigned AS (
+  SELECT {id_col}, {vec_col}, cell FROM (
+    SELECT v.{id_col}, v.{vec_col}, c.cid AS cell,
+           row_number() OVER (PARTITION BY v.{id_col}
+                              ORDER BY {sim_cv} DESC, c.cid ASC) AS rk
+    FROM {corpus_table} v CROSS JOIN cent c
+  ) WHERE rk <= 1
+),
+q AS ({queries_sql}),
+q_assigned AS (
+  SELECT query_id, query_vec, cell FROM (
+    SELECT q.query_id, q.query_vec, c.cid AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {sim_qv} DESC, c.cid ASC) AS rk
+    FROM q CROSS JOIN cent c
+  ) WHERE rk <= {n_probe}
+),
+scored AS (
+  SELECT DISTINCT qa.query_id, ca.{id_col} AS vec_id, {sim_final} AS sim_raw
+  FROM c_assigned ca JOIN q_assigned qa USING (cell)
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim_raw, 6) AS sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def community_labels(
     comm_topics: DataFrame,
     topic_embeddings: DataFrame,
