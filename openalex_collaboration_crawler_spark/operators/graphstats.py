@@ -500,9 +500,11 @@ def closed_triangles(edges: DataFrame, a: str = "author1", b: str = "author2") -
         .join(deg.withColumnRenamed("u", "v_").withColumnRenamed("d", "dv"), F.col("v") == F.col("v_"))
         .drop("v_")
     )
+    # pinned: referenced three times (both wedge sides + the closing
+    # check); unpinned, the whole degree pipeline re-expands per use
     oriented = e.where(
         (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    ).select("u", "v").localCheckpoint()
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -547,16 +549,23 @@ def structural_stats(
     exact integer sums (weights are counts) with the doubles formed
     once at the end — bit-identical to the SQL oracle. Shuffles: one
     per-node agg, the triangle join, one edge-endpoint join; all
-    partial-aggregated map-side."""
+    partial-aggregated map-side.
+
+    The edge and per-node frames are referenced by several branches
+    (degrees, strengths, triangles, assortativity); they are pinned
+    with ``localCheckpoint`` so the upstream pipeline materializes
+    once instead of being re-expanded per branch (Catalyst does not
+    dedup common subplans — unpinned, this plan measured >1000
+    exchange nodes)."""
     e = weighted.select(
         F.col(a).alias("u"), F.col(b).alias("v"), F.col(w).cast("long").alias("wt")
-    ).where(F.col(a) != F.col(b))
+    ).where(F.col(a) != F.col(b)).localCheckpoint()
     ends = e.select(F.col("u").alias("node"), "wt").unionAll(
         e.select(F.col("v").alias("node"), "wt")
     )
     per_node = ends.groupBy("node").agg(
         F.count("*").alias("d"), F.sum("wt").alias("s")
-    )
+    ).localCheckpoint()
     tri = per_node_triangles(e, "u", "v")
     cnode = per_node.join(tri, "node", "left").select(
         "d",
@@ -765,7 +774,9 @@ def null_model_stats(
         F.col(a) != F.col(b)
     )
     ends = e.select(F.col("u").alias("node")).unionAll(e.select(F.col("v").alias("node")))
-    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
+    # pinned: the degree table feeds the pair generator, the node list
+    # and the per-run fill — one materialization, not three subplans
+    deg = ends.groupBy("node").agg(F.count("*").alias("d")).localCheckpoint()
     sum_d = deg.agg(F.sum("d").alias("sum_d"))
     di = deg.select(F.col("node").alias("i"), F.col("d").alias("di"))
     dj = deg.select(F.col("node").alias("j"), F.col("d").alias("dj"))
