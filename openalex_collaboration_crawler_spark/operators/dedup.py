@@ -128,11 +128,13 @@ def ngram_jaccard_pairs(
 
     sh_all = doc_shingles(docs, text_col, id_col, n)
     w_freq = Window.partitionBy("shingle")
+    # pinned: referenced by the size table and both inverted-index
+    # sides — one shingle pass instead of three
     sh = (
         sh_all.withColumn("__df", F.count("*").over(w_freq))
         .where(F.col("__df") <= max_doc_freq)
         .drop("__df")
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -267,7 +269,10 @@ def minhash_candidate_pairs(
     Buckets larger than ``max_bucket`` are dropped (boilerplate
     explosion guard — at 10^10 docs a single mega-bucket would emit
     O(n²) pairs and dominate the job)."""
-    bk = minhash_band_buckets(minhash_signatures(docs, text_col, id_col, n))
+    # pinned: the bucket table feeds the size guard AND both join
+    # sides — unpinned, Catalyst re-expands the whole shingle+minhash
+    # pipeline three times (common subplans are not deduplicated)
+    bk = minhash_band_buckets(minhash_signatures(docs, text_col, id_col, n)).localCheckpoint()
     # bucket-size guard via semi-join (a window would shuffle the same key anyway)
     sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
     bk2 = bk.join(sizes.where(F.col("bsz") <= max_bucket), ["band", "bucket"], "left_semi")
@@ -352,7 +357,9 @@ def simhash_neardup_pairs(
     Scale path: block on bit-chunks (pigeonhole — with 4 chunks, any
     pair within Hamming 3 shares ≥1 exact chunk), then verify. Avoids
     the all-pairs product entirely."""
-    sh = simhash(docs, text_col, id_col)
+    # pinned: the 32-sum simhash agg feeds all 4 chunk blocks × both
+    # join sides — one signature pass instead of eight
+    sh = simhash(docs, text_col, id_col).localCheckpoint()
     n_chunks = 4
     bits_per = SIMHASH_BITS // n_chunks
     blocks = None
