@@ -127,6 +127,95 @@ def extract_features(
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, kind string, blob binary, width int, height int, resize_ok boolean"
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, ts_ms long"
+
+
+def _fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→encode: output bytes
+    derive from (input digest, target dims) with size ∝ area — a real
+    deployment registers a PIL/opencv transformer with this exact
+    signature; the Spark-side schema/batching is identical."""
+    digest = hashlib.sha256(blob + f"{width}x{height}".encode()).digest()
+    return digest * max(1, (width * height) // (16 * len(digest)))
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    blob_col: str = "blob",
+    batch_rows: int = 128,
+) -> DataFrame:
+    """Image-resize plumbing: binary in → binary out + typed dims.
+    Non-image kinds pass through with resize_ok=false (no decode
+    attempt). Row count preserved; blob sizes bounded by the target
+    area, so downstream partitions shrink predictably."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                blobs, oks = [], []
+                for kind, blob in zip(chunk[kind_col], chunk[blob_col]):
+                    if kind != "image" or blob is None:
+                        blobs.append(bytes(blob) if blob is not None else None)
+                        oks.append(False)
+                        continue
+                    try:
+                        blobs.append(_fake_resize(bytes(blob), width, height))
+                        oks.append(True)
+                    except Exception:  # noqa: BLE001
+                        blobs.append(None)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].astype("int64"),
+                        "kind": chunk[kind_col],
+                        "blob": blobs,
+                        "width": width,
+                        "height": height,
+                        "resize_ok": oks,
+                    }
+                )
+
+    return media.mapInPandas(rz, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    frame_interval_ms: int = 1000,
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame sampling: ONE video blob → ``n_frames`` frame rows (the
+    row-multiplying media shape — an Arrow-batched flatMap). Frames
+    here are deterministic digests of (blob, idx); a real deployment
+    registers an ffmpeg-style extractor with the same
+    one-in/many-out signature. Non-video rows yield nothing."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, tss = [], [], [], []
+            for mid, kind, blob in zip(pdf[id_col], pdf[kind_col], pdf[blob_col]):
+                if kind != "video_frame" or blob is None:
+                    continue
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    blobs.append(hashlib.sha256(bytes(blob) + bytes([i])).digest())
+                    tss.append(i * frame_interval_ms)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": blobs, "ts_ms": tss}
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
 def build_synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media corpus: zlib-compressed pseudo-random
     bytes tagged with a kind — exercises the full binary path."""

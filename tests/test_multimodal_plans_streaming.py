@@ -44,6 +44,34 @@ def test_real_decoder_is_stubbed():
         real_image_decode(b"\x89PNG")
 
 
+def test_resize_plumbing(spark):
+    from openalex_collaboration_crawler_spark.operators.multimodal import resize_images
+
+    media = build_synthetic_media(spark, n=30)
+    out = resize_images(media, width=32, height=32, batch_rows=7).collect()
+    assert len(out) == 30  # row count preserved
+    imgs = [r for r in out if r["kind"] == "image"]
+    rest = [r for r in out if r["kind"] != "image"]
+    assert imgs and all(r["resize_ok"] and r["width"] == 32 for r in imgs)
+    assert rest and all(not r["resize_ok"] for r in rest)  # passthrough, no decode
+    # deterministic output bytes
+    again = {r["media_id"]: bytes(r["blob"]) for r in resize_images(media, 32, 32).collect()}
+    assert all(bytes(r["blob"]) == again[r["media_id"]] for r in out)
+
+
+def test_frame_sampling_plumbing(spark):
+    from openalex_collaboration_crawler_spark.operators.multimodal import sample_video_frames
+
+    media = build_synthetic_media(spark, n=30)
+    n_videos = media.where(F.col("kind") == "video_frame").count()
+    frames = sample_video_frames(media, n_frames=4, frame_interval_ms=500).collect()
+    assert len(frames) == n_videos * 4  # one-in/many-out flatMap shape
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert all(sorted(v) == [(0, 0), (1, 500), (2, 1000), (3, 1500)] for v in per.values())
+
+
 def test_filter_pushdown_and_pruning(spark, sf_dir):
     df = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
