@@ -567,15 +567,33 @@ FROM events GROUP BY 1, 2
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing smoke (no SQL oracle — binary decode path);
-    deterministic synthetic media, features reduced to a checksum."""
+    """Multimodal plumbing smoke (no SQL oracle — binary decode path):
+    feature extraction + image resize + video frame sampling over the
+    deterministic synthetic corpus, reduced to per-media scalars."""
+    from openalex_collaboration_crawler_spark.operators.multimodal import (
+        resize_images,
+        sample_video_frames,
+    )
+
     media = build_synthetic_media(spark, n=64)
-    feats = extract_features(media)
-    return feats.select(
+    feats = extract_features(media).select(
         "media_id",
         "kind",
         "decode_ok",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )
+    rz = resize_images(media, width=32, height=32).select(
+        "media_id", F.length("blob").alias("resized_bytes"), "resize_ok"
+    )
+    fr = (
+        sample_video_frames(media, n_frames=4)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return (
+        feats.join(rz, "media_id")
+        .join(fr, "media_id", "left")
+        .na.fill({"n_frames": 0})
     )
 
 
