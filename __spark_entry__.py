@@ -460,6 +460,16 @@ def _q_connected_components_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GS.connected_components_lsss(w)
 
 
+def _q_structural_stats_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripts 02/04 second row: structural stats of the LARGEST
+    connected component (reference compute_structural_statistics
+    run(): full-graph row + largest-CC row)."""
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    return GS.structural_stats_largest_cc(w)
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, _queries_vec(spark, sf_dir), k=5)
@@ -902,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "work_metadata": _q_work_metadata,
         "connected_components_lsss": _q_connected_components_lsss,
+        "structural_stats_lcc": _q_structural_stats_lcc,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "topic_normalize": _q_topic_normalize,
         "structural_stats": _q_structural_stats,
@@ -1007,6 +1018,12 @@ GROUP BY 1, 2
         "work_metadata": _WORK_METADATA_SQL,
         "connected_components_lsss": _CC_SQL_TEMPLATE.format(
             edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3"
+        ),
+        "structural_stats_lcc": GS.structural_stats_largest_cc_sql(
+            f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3",
+            _CC_SQL_TEMPLATE.format(
+                edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3"
+            ),
         ),
         "ann_ivf_topk": SIM.ivf_topk_sql("embeddings", _QUERIES_VEC_SQL, k=5),
         "topic_normalize": TP.topic_category_distribution_sql(_raw_topics_sql(), k=5),

@@ -743,6 +743,53 @@ FROM node_agg, edge_agg, tri_tot, asst
 """
 
 
+def largest_cc_edges(
+    weighted: DataFrame, a: str = "author1", b: str = "author2"
+) -> DataFrame:
+    """Edges of the largest connected component (ties broken by min
+    component label — deterministic). Components via the O(log n)
+    large-star/small-star labels; membership of ONE endpoint implies
+    both (components are edge-closed), so a single semi-join filters
+    the edge table."""
+    cc = connected_components_lsss(weighted, a, b)
+    top = (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("component"))
+        .limit(1)
+        .select("component")
+    )
+    keep = cc.join(F.broadcast(top), "component", "left_semi").select(
+        F.col("node").alias(a)
+    )
+    return weighted.join(keep, a, "left_semi")
+
+
+def structural_stats_largest_cc(
+    weighted: DataFrame, a: str = "author1", b: str = "author2", w: str = "weight"
+) -> DataFrame:
+    """The reference's second stats row (compute_structural_statistics
+    .py:115-135 / scripts 02+04: stats are emitted for the full graph
+    AND for its largest connected component)."""
+    return structural_stats(largest_cc_edges(weighted, a, b), a, b, w)
+
+
+def structural_stats_largest_cc_sql(weighted_sql: str, cc_sql: str) -> str:
+    """DuckDB mirror: ``cc_sql`` must yield (node, component) for the
+    same edge set (the recursive-CTE oracle)."""
+    lcc_edges = f"""
+SELECT e.* FROM ({weighted_sql}) e
+WHERE e.author1 IN (
+  SELECT node FROM ({cc_sql})
+  WHERE component = (
+    SELECT component FROM ({cc_sql})
+    GROUP BY component ORDER BY count(*) DESC, component ASC LIMIT 1
+  )
+)
+"""
+    return structural_stats_sql(lcc_edges)
+
+
 def null_model_stats(
     weighted: DataFrame,
     n_runs: int = 8,
