@@ -172,6 +172,12 @@ class CrawlEngine:
     # joins: a recrawl-heavy batch at 10^10 scale can push tens of
     # millions of maybe-seen survivors, which must never be broadcast.
     survivor_broadcast_limit: int = 2_000_000
+    # every K batches the seen delta is written as the COMPACTED full
+    # union (table maintenance): the union read stays O(K) directories
+    # instead of one per batch. Crash-safe: the compaction point is
+    # recorded in the commit marker (seen_base); an uncommitted
+    # compacted delta is simply overwritten on replay.
+    compact_every: int = 8
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
     _min_cap: int | None = field(default=None, repr=False)
 
@@ -207,8 +213,12 @@ class CrawlEngine:
             self._path("pending", f"v{version}")
         )
 
-    def _load_seen_union(self, version: int) -> DataFrame:
-        paths = [self._path("seen", f"b{i}") for i in range(version + 1)]
+    def _load_seen_union(self, version: int, base: int = 0) -> DataFrame:
+        """Union of seen deltas b{base}..b{version} — ``base`` comes
+        from the commit's ``seen_base`` (the last compaction point),
+        so a long crawl reads O(compact_every) directories, not one
+        per batch."""
+        paths = [self._path("seen", f"b{i}") for i in range(base, version + 1)]
         paths = [p for p in paths if os.path.isdir(p)]
         return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
 
@@ -287,6 +297,7 @@ class CrawlEngine:
                 "batch": -1,
                 "note": "seeded",
                 "seen_rows": int(n_seen),
+                "seen_base": 0,
                 "pending_rows": int(n_pending),
             },
         )
@@ -474,7 +485,9 @@ class CrawlEngine:
         else:
             discovered = discovered.withColumn("__blocked", F.lit(False))
 
-        seen_union = self._load_seen_union(v)
+        seen_base = int(prev.get("seen_base", 0))
+        seen_union = self._load_seen_union(v, seen_base)
+        do_compact = (batch_id - seen_base) >= self.compact_every
         seen_rows = int(prev.get("seen_rows", 0))
         bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
         if bloom_mode:
@@ -536,9 +549,12 @@ class CrawlEngine:
             next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
 
         def j_seen():
-            new_urls.select("url_hash").write.mode("overwrite").parquet(
-                self._path("seen", f"b{batch_id}")
-            )
+            delta = new_urls.select("url_hash")
+            if do_compact:
+                # table maintenance: fold the whole union into this
+                # batch's file so future reads start here
+                delta = seen_union.unionByName(delta)
+            delta.write.mode("overwrite").parquet(self._path("seen", f"b{batch_id}"))
 
         def j_bloom():
             if bloom_mode:
@@ -589,6 +605,7 @@ class CrawlEngine:
             "new_urls": int(n_new),
             "deduped": int(n_discovered - n_new),
             "seen_rows": seen_rows + int(n_new),
+            "seen_base": batch_id if do_compact else seen_base,
             "pending_rows": pending_rows,
             "bloom_mode": bloom_mode,
             "done": pending_rows == 0,
@@ -657,4 +674,5 @@ class CrawlEngine:
 
     def seen_hashes(self) -> set[int]:
         v = self.last_version()
-        return {r["url_hash"] for r in self._load_seen_union(v).collect()}
+        base = int(self._read_commit(v).get("seen_base", 0))
+        return {r["url_hash"] for r in self._load_seen_union(v, base).collect()}

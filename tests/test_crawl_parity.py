@@ -209,6 +209,23 @@ def test_unbounded_budget_skip_path(spark, world):
     assert eng.seen_hashes() == orc.seen
 
 
+def test_seen_compaction_same_result(spark, world, oracle_run):
+    """Aggressive compaction (every 3 batches) must be output-invariant
+    and must actually advance the compaction point."""
+    eng = _mk_engine(spark, world, "engine_compact", compact_every=3)
+    eng.init_from_seeds(world["seeds"])
+    for _ in range(5):  # past the first compaction point...
+        eng.run_batch()
+    assert int(eng._read_commit(5).get("seen_base", 0)) > 0
+    eng2 = _mk_engine(spark, world, "engine_compact", compact_every=3)
+    eng2.run(max_batches=50)  # ...then resume ACROSS it from disk
+    v = eng2.last_version()
+    base = int(eng2._read_commit(v).get("seen_base", 0))
+    assert base >= v - 3  # union reads stay O(compact_every) dirs
+    assert eng2.crawl_order() == oracle_run.order
+    assert eng2.seen_hashes() == oracle_run.seen
+
+
 def test_robots_blocked_never_fetched(engine_run, spark):
     eng, _ = engine_run
     fetched_urls = [r["url"] for r in eng.results().select("url").collect()]
