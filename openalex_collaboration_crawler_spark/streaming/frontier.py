@@ -101,10 +101,23 @@ def decode_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     Emits extracted text, outlinks, a parse_ok flag and the
     byte-identity check of extracted text vs the page table's golden
-    ``text`` column (input_hint invariant, surfaced as a metric)."""
+    ``text`` column (input_hint invariant, surfaced as a metric).
+
+    The golden text itself never crosses the Arrow boundary: the
+    prepared page table carries ``text_md5`` (hex md5 of the golden's
+    UTF-8 bytes, computed JVM-side once at prepare time) and the
+    check compares md5(extracted bytes) against it — 32 bytes of
+    ingress per row instead of the full golden body. At Common-Crawl
+    page sizes (~50 KB of text) shipping the golden would roughly
+    double python-worker ingress for a check that only produces one
+    boolean. md5 equality == byte equality up to a 2^-64 collision;
+    the parity suite additionally verifies TRUE byte identity with a
+    JVM-side join at fixture scale (tests/test_crawl_parity.py)."""
+    import hashlib
+
     for pdf in batches:
         texts, links, ok, match = [], [], [], []
-        for html, golden in zip(pdf["html"], pdf["text_golden"]):
+        for html, golden_md5 in zip(pdf["html"], pdf["text_md5"]):
             if html is None:
                 texts.append(None)
                 links.append([])
@@ -119,8 +132,8 @@ def decode_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ok.append(True)
                 match.append(
                     t is not None
-                    and golden is not None
-                    and t.encode("utf-8") == golden.encode("utf-8")
+                    and golden_md5 is not None
+                    and hashlib.md5(t.encode("utf-8")).hexdigest() == golden_md5
                 )
             except Exception:  # noqa: BLE001 - malformed page == parse failure
                 texts.append(None)
@@ -304,15 +317,46 @@ class CrawlEngine:
 
     # -------------------------------------------------------------- pages
 
+    # bump when the prepared-table schema/derivation changes: a marker
+    # with a different version is stale and forces a rebuild
+    _PREP_VERSION = 2
+
+    def _pages_fingerprint(self) -> dict:
+        """Content fingerprint of the source page table: data-file
+        names + sizes + count (the same identity Iceberg snapshots
+        carry as manifests). Regenerating the parquet in place changes
+        file names/sizes, so a stale prepared table is detected and
+        rebuilt instead of silently reused."""
+        files = []
+        for root, _, names in os.walk(self.pages_path):
+            for n in sorted(names):
+                if n.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, n)
+                files.append((os.path.relpath(p, self.pages_path), os.path.getsize(p)))
+        files.sort()
+        import hashlib
+
+        h = hashlib.md5(json.dumps(files).encode()).hexdigest()
+        return {"version": self._PREP_VERSION, "n_files": len(files), "files_md5": h}
+
     def _pages(self) -> DataFrame:
         """The 'network': canonical_url → one deterministic snapshot.
 
         Canonicalization happens scan-side; duplicate snapshots (messy
         URL variants) resolve by min (warc_ts, html). Prepared ONCE to
-        a scratch parquet (with the url_hash join key), NOT a heap
-        cache — the corpus-sized table must never live deserialized in
+        a scratch parquet (with the url_hash join key and the golden
+        text's md5 for the byte-identity metric), NOT a heap cache —
+        the corpus-sized table must never live deserialized in
         executor memory (at 100 TB it could not, and locally a 3M-row
-        heap cache of html bytes measured as multi-GB GC churn)."""
+        heap cache of html bytes measured as multi-GB GC churn).
+
+        Staleness: a `_prep_marker.json` records a content fingerprint
+        of the source files; a fingerprint/version mismatch rebuilds
+        (regenerated-in-place corpora must never be served from the
+        stale derivation). The build goes to a temp dir and lands via
+        atomic rename, so two engines racing on the same pages_path
+        cannot interleave partial writes."""
         if self._pages_prepared is not None:
             return self._pages_prepared
         from pyspark.sql.window import Window
@@ -321,7 +365,19 @@ class CrawlEngine:
         # reused across runs/engines (like a one-time table-format
         # conversion, not crawl work)
         path = self.pages_path.rstrip("/") + "_prepared"
-        if not os.path.isdir(path):
+        marker = os.path.join(path, "_prep_marker.json")
+        fp = self._pages_fingerprint()
+        fresh = False
+        if os.path.isdir(path) and os.path.isfile(marker):
+            try:
+                with open(marker) as f:
+                    fresh = json.load(f) == fp
+            except (OSError, ValueError):
+                fresh = False
+        if not fresh:
+            tmp = path + ".tmp"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
             raw = self.spark.read.parquet(self.pages_path)
             keyed = raw.select(
                 canonicalize_url("url").alias("canonical_url"),
@@ -336,9 +392,15 @@ class CrawlEngine:
                 .where(F.col("__rn") == 1)
                 .drop("__rn", "warc_ts")
                 .withColumn("url_hash", portable_hash64(F.col("canonical_url")))
+                .withColumn("text_md5", F.md5(F.col("text_golden").cast("binary")))
                 .write.mode("overwrite")
-                .parquet(path)
+                .parquet(tmp)
             )
+            with open(os.path.join(tmp, "_prep_marker.json"), "w") as f:
+                json.dump(fp, f)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)  # atomic publish
         self._pages_prepared = self.spark.read.parquet(path)
         return self._pages_prepared
 
@@ -381,9 +443,10 @@ class CrawlEngine:
         #    write via ``Observation`` — exactly ONE action runs on
         #    that plan, so the observed counters are complete.
         #  - `marked` (dedup output; small columns) uses persist() +
-        #    explicit unpersist, materialized by exactly one
-        #    aggregation job (phase 2) before the write fan-out
-        #    (concurrent jobs racing on an unmaterialized cache
+        #    explicit unpersist, materialized by exactly one job — the
+        #    pending write (phase 2), whose CollectMetrics node also
+        #    supplies the dedup counters — before the remaining write
+        #    fan-out (concurrent jobs racing on an unmaterialized cache
         #    re-execute the subtree below the cache point — ~3× waste).
         est = int(pending_prev) if pending_prev is not None else None
         batch = select_batch(
@@ -402,12 +465,14 @@ class CrawlEngine:
         # scan, so only HIT rows (≤ batch size) ever shuffle — without
         # it the full pages table (the 100-TB analogue) would shuffle
         # through the join EVERY batch. The exact left join then runs
-        # on two batch-sized sides.
+        # on two batch-sized sides. Only (html, text_md5, lang) cross
+        # into python — never the golden text body (see
+        # decode_and_parse).
         hits = self._pages().join(
             F.broadcast(batch.select("url_hash")), "url_hash", "left_semi"
         ).drop("url_hash")
         fetched = batch.join(hits, batch.url == F.col("canonical_url"), "left").select(
-            "seq", "url", "url_hash", "host", "depth", "html", "text_golden", "lang"
+            "seq", "url", "url_hash", "host", "depth", "html", "text_md5", "lang"
         )
         parsed = fetched.mapInPandas(decode_and_parse, schema=PARSE_SCHEMA)
 
@@ -432,6 +497,12 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("fetched"),
             F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
             F.sum(F.col("text_match").cast("int")).alias("text_match"),
+            # exact pre-dedup outlink count of THIS batch — a provable
+            # upper bound on the discovered/survivor set size, used to
+            # pick the survivor-join strategy for the CURRENT batch
+            # (a recrawl spike switches to shuffle in the spike batch
+            # itself, not one batch late)
+            F.sum(F.greatest(F.col("n_links"), F.lit(0))).alias("links_total"),
         )
         results_path = os.path.join(self.state_dir, "results", f"batch={batch_id}")
 
@@ -456,6 +527,12 @@ class CrawlEngine:
         n_fetched = int(m_parse["fetched"])
         parsed_ok = int(m_parse["parsed_ok"] or 0)
         text_match = int(m_parse["text_match"] or 0)
+        links_total = int(m_parse["links_total"] or 0)
+        if n_fetched == 0:
+            # nothing eligible (e.g. legacy state with robots-blocked
+            # pending rows): no state advanced, leave the last commit
+            batch.unpersist()
+            return {"batch": batch_id, "fetched": 0, "done": True}
 
         res = self.spark.read.schema(RESULTS_SCHEMA).parquet(results_path)
 
@@ -492,13 +569,15 @@ class CrawlEngine:
         bloom_mode = self.use_bloom and seen_rows >= self.bloom_min_seen
         if bloom_mode:
             bloom = self._ensure_bloom(v, seen_union).cache()
-            # survivor-set size is bounded by last batch's discovered
-            # count — choose the join strategy from committed metrics
-            # (no extra job): broadcast when small, shuffle when a
-            # recrawl-heavy batch could OOM the broadcast.
+            # survivor-set size this batch is provably ≤ links_total —
+            # THIS batch's pre-dedup outlink count, observed for free
+            # on the results write. Broadcast when the bound is small;
+            # co-partitioned shuffle when a recrawl-heavy batch could
+            # OOM the broadcast (the switch engages in the spike batch
+            # itself — the bound is current, not last batch's count).
             survivor_join = (
                 "shuffle"
-                if int(prev.get("discovered", 0)) > self.survivor_broadcast_limit
+                if links_total > self.survivor_broadcast_limit
                 else "broadcast"
             )
             marked = mark_new_against_seen(
@@ -519,6 +598,20 @@ class CrawlEngine:
                 .withColumn("is_new", F.col("__m").isNull())
                 .drop("__m")
             ).persist()
+        # dedup metrics ride the FIRST job that materializes `marked`
+        # (the pending write) as an Observation — the collect round-trip
+        # this replaces was part of the measured per-batch serial floor.
+        # The CollectMetrics node sits between the cache and the filters,
+        # so every marked row flows through it exactly once per job; the
+        # first completed job (j_pending, which phase 2 runs alone
+        # alongside the independent metrics write) supplies the values.
+        obs_dedup = Observation()
+        marked_obs = marked.observe(
+            obs_dedup,
+            F.count(F.lit(1)).alias("nd"),
+            F.sum(F.col("is_new").cast("int")).alias("nn"),
+            F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("kept"),
+        )
         enqueue_cols = [
             F.col("url"),
             F.col("url_hash"),
@@ -527,23 +620,18 @@ class CrawlEngine:
             F.col("priority"),
             F.lit(batch_id).cast("int").alias("batch_enqueued"),
         ]
+        # j_seen/j_bloom read plain `marked` (no CollectMetrics in their
+        # plans), so the observation fires exactly once — in j_pending.
         new_urls = marked.where("is_new").select(*enqueue_cols)
-        new_pending = marked.where(F.col("is_new") & ~F.col("__blocked")).select(*enqueue_cols)
+        new_pending = marked_obs.where(F.col("is_new") & ~F.col("__blocked")).select(
+            *enqueue_cols
+        )
         # pending shrinks by the batch, grows by the new fetchable urls
         next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
             new_pending
         )
 
         from concurrent.futures import ThreadPoolExecutor
-
-        # ---- phase 2: ONE aggregation materializes `marked`
-        def j_dedup_metrics():
-            row = marked.agg(
-                F.count("*").alias("nd"),
-                F.sum(F.col("is_new").cast("int")).alias("nn"),
-                F.sum((F.col("is_new") & ~F.col("__blocked")).cast("int")).alias("kept"),
-            ).collect()[0]
-            return int(row["nd"]), int(row["nn"] or 0), int(row["kept"] or 0)
 
         def j_pending():
             next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
@@ -569,13 +657,24 @@ class CrawlEngine:
         def j_part_metrics():
             self._write_partition_metrics(res, batch_id)
 
-        n_discovered, n_new, n_kept = timed(j_dedup_metrics)()
-        # ---- phase 3: state writes fan out concurrently (wall = max)
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            writes = [
-                pool.submit(timed(j))
-                for j in (j_pending, j_seen, j_bloom, j_part_metrics)
-            ]
+        # ---- phase 2: the pending write MATERIALIZES `marked` (and its
+        # CollectMetrics node supplies the dedup counters — the serial
+        # collect round-trip this replaces was part of the measured
+        # per-batch floor). The independent lineage-metrics write (reads
+        # the results parquet, not `marked`) pipelines alongside it;
+        # j_seen/j_bloom wait so they hit a materialized cache instead
+        # of racing to re-execute the dedup subtree (~3× waste, measured).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            writes = [pool.submit(timed(j)) for j in (j_pending, j_part_metrics)]
+            for f in writes:
+                f.result()
+        m_dedup = obs_dedup.get
+        n_discovered = int(m_dedup["nd"])
+        n_new = int(m_dedup["nn"] or 0)
+        n_kept = int(m_dedup["kept"] or 0)
+        # ---- phase 3: remaining state writes fan out concurrently
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            writes = [pool.submit(timed(j)) for j in (j_seen, j_bloom)]
             for f in writes:
                 f.result()
 
@@ -588,11 +687,6 @@ class CrawlEngine:
         import gc as _gc
 
         _gc.collect()
-        if n_fetched == 0:
-            # nothing eligible (e.g. legacy state with robots-blocked
-            # pending rows): leave the last commit in place
-            return {"batch": batch_id, "fetched": 0, "done": True}
-
         pending_rows = (
             int(pending_prev) - n_fetched + n_kept if pending_prev is not None else None
         )
