@@ -577,9 +577,17 @@ FROM events GROUP BY 1, 2
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing smoke (no SQL oracle — binary decode path):
-    feature extraction + image resize + video frame sampling over the
-    deterministic synthetic corpus, reduced to per-media scalars."""
+    """Multimodal plumbing with a REAL DuckDB oracle: the synthetic
+    corpus is ASCII-hex bytes (multimodal.build_synthetic_media), so
+    the sha256-derived fake decode / resize / frame-sample outputs are
+    reproducible VARCHAR-side in DuckDB. Checked per media row:
+    - feature_sum_255: the 16 decoded feature floats, un-normalized
+      back to their source digest bytes (proves the Arrow decode path
+      produced exactly sha256(kind+blob)[:16]/255)
+    - resized_sha/resized_bytes: content hash + length of the resized
+      blob (image) or the passthrough blob (non-image)
+    - frames_sig: hash over the 4 sampled frame payloads in frame
+      order; n_frames the flatMap fan-out"""
     from openalex_collaboration_crawler_spark.operators.multimodal import (
         resize_images,
         sample_video_frames,
@@ -590,21 +598,89 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "decode_ok",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 255.0
+        ).cast("long").alias("feature_sum_255"),
     )
     rz = resize_images(media, width=32, height=32).select(
-        "media_id", F.length("blob").alias("resized_bytes"), "resize_ok"
+        "media_id",
+        F.length("blob").alias("resized_bytes"),
+        F.sha2(F.col("blob"), 256).alias("resized_sha"),
+        "resize_ok",
     )
     fr = (
         sample_video_frames(media, n_frames=4)
         .groupBy("media_id")
-        .agg(F.count("*").alias("n_frames"))
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sha2(
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":", F.col("frame_idx"), F.col("frame").cast("string")
+                            )
+                        )
+                    ),
+                ).cast("binary"),
+                256,
+            ).alias("frames_sig"),
+        )
     )
     return (
         feats.join(rz, "media_id")
         .join(fr, "media_id", "left")
         .na.fill({"n_frames": 0})
     )
+
+
+# DuckDB mirror of the synthetic media pipeline. blob is rebuilt as the
+# same ASCII byte stream (hex-digest × 16); every hash below therefore
+# matches Spark's sha2 over the binary column byte-for-byte.
+_MEDIA_FEATURES_SQL = """
+WITH media AS (
+    SELECT i AS media_id,
+           CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video_frame' END AS kind,
+           repeat(sha256(CAST(i AS VARCHAR)), 16) AS blob
+    FROM range(64) t(i)
+), feat AS (
+    SELECT media_id, kind,
+           sha256(kind || blob) AS h,
+           CAST(list_sum(list_transform(range(16),
+                i -> CAST(('0x' || substr(sha256(kind || blob),
+                                          CAST(2*i+1 AS INT), 2)) AS INTEGER)))
+                AS BIGINT) AS feature_sum_255
+    FROM media
+), rz AS (
+    SELECT media_id,
+           CASE WHEN kind = 'image'
+                THEN CAST(length(repeat(sha256(blob || '32x32'),
+                     greatest(1, (32*32) // (16*64)))) AS INT)
+                ELSE CAST(length(blob) AS INT) END AS resized_bytes,
+           CASE WHEN kind = 'image'
+                THEN sha256(repeat(sha256(blob || '32x32'),
+                     greatest(1, (32*32) // (16*64))))
+                ELSE sha256(blob) END AS resized_sha,
+           (kind = 'image') AS resize_ok
+    FROM media
+), fr AS (
+    SELECT media_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           sha256(list_aggregate(list_transform(range(4),
+                i -> CAST(i AS VARCHAR) || ':' || sha256(blob || CAST(i AS VARCHAR))),
+                'string_agg', '')) AS frames_sig
+    FROM media WHERE kind = 'video_frame'
+)
+SELECT f.media_id, f.kind, TRUE AS decode_ok, f.feature_sum_255,
+       r.resized_bytes, r.resized_sha, r.resize_ok,
+       coalesce(fr.n_frames, 0) AS n_frames, fr.frames_sig
+FROM feat f
+JOIN rz r USING (media_id)
+LEFT JOIN fr USING (media_id)
+"""
 
 
 def _nation_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +702,42 @@ FROM ({COLLAB_MODEL_SQL}) c JOIN supplier s ON c.author = s.s_suppkey
 def _q_community_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir)))
     return GS.community_metrics(w, _nation_membership(spark, sf_dir))
+
+
+def _q_community_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-stability ensemble (reference 06_community_stability.
+    py:76-104): pairwise NMI mean/std/min/max across R labelings via
+    the distributed ``pairwise_nmi_stats`` operator. The gate's R=5
+    labelings are deterministic arithmetic perturbations of the nation
+    membership — SQL-expressible, so the full ensemble contingency/
+    entropy machinery is oracle-checked; the Louvain-ensemble
+    composition (``GS.louvain_ensemble`` → same operator) is pinned in
+    tests/test_communities.py (iterative solves have no SQL twin)."""
+    mem = (
+        _nation_membership(spark, sf_dir)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("run"),
+            "node",
+            "community",
+        )
+        .select(
+            "run",
+            "node",
+            ((F.col("community") + F.col("node") % (F.col("run") + 2)) % 7).alias(
+                "label"
+            ),
+        )
+    )
+    return AN.pairwise_nmi_stats(mem)
+
+
+_COMMUNITY_STABILITY_SQL = AN.pairwise_nmi_stats_sql(
+    f"""
+    SELECT t.run, m.node,
+           CAST((m.community + m.node % (t.run + 2)) % 7 AS BIGINT) AS label
+    FROM ({_NATION_MEMBERSHIP_SQL}) m, range(5) t(run)
+    """
+)
 
 
 def _q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,12 +778,40 @@ def _q_topk_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain over the significant-edge backbone (reference 05 stage);
-    no SQL oracle (iterative algorithm) — rows-only driver check,
-    determinism pinned by seed=42 in tests/test_communities.py."""
+    no SQL oracle (iterative algorithm), but the gate is NOT rows-only
+    in spirit: every returned membership row is inner-joined against
+    partition-validity and quality invariants computed in-plan —
+    (a) community label == min member node id, (b) exactly one
+    community per node, (c) weighted modularity of the partition > 0
+    (a labeled-at-random partition has modularity ≈ 0, so a broken
+    solve empties the result and the driver's row-count check fails).
+    Output: (node, community, modularity) — modularity constant across
+    rows, computed by the oracle-green community_metrics operator.
+    Determinism pinned by seed=42 in tests/test_communities.py."""
     w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
         F.col("weight") >= 3
     )
-    return GS.louvain_communities(w, seed=42)
+    mem = GS.louvain_communities(w, seed=42).select("node", "community")
+    metrics = GS.community_metrics(
+        w, mem, node_col="node", comm_col="community"
+    ).select("modularity")
+    label_ok = (
+        mem.groupBy("community")
+        .agg(F.min("node").alias("__mn"))
+        .where(F.col("community") == F.col("__mn"))
+        .select("community")
+    )
+    node_ok = (
+        mem.groupBy("node")
+        .agg(F.countDistinct("community").alias("__nc"))
+        .where(F.col("__nc") == 1)
+        .select("node")
+    )
+    return (
+        mem.join(label_ok, "community", "left_semi")
+        .join(node_ok, "node", "left_semi")
+        .crossJoin(metrics.where(F.col("modularity") > 0))
+    )
 
 
 def _q_work_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_model_stats": _q_null_model,
         "community_topics": _q_community_topics,
         "community_labels": _q_community_labels,
+        "community_stability": _q_community_stability,
     }
 
 
@@ -1002,7 +1143,7 @@ GROUP BY 1, 2
         ),
         "politeness_batch": _POLITENESS_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
-        # media_features: no SQL oracle (binary decode path) — rows-only
+        "media_features": _MEDIA_FEATURES_SQL,
         "community_metrics": GS.community_metrics_sql(_WEIGHTED_SQL, _NATION_MEMBERSHIP_SQL),
         "nmi_nation_vs_region": _NMI_SQL,
         "community_size_split": AN.community_size_split_sql(_NATION_MEMBERSHIP_SQL, pct=0.9),
@@ -1035,6 +1176,7 @@ GROUP BY 1, 2
             _IEDGES_SQL, _MEMBERSHIP_SQL, _WORK_TOPICS_SQL
         ),
         "community_labels": _community_labels_sql(),
+        "community_stability": _COMMUNITY_STABILITY_SQL,
     }
 
 

@@ -390,18 +390,27 @@ def community_topic_counts_sql(
     from openalex_collaboration_crawler_spark.operators.topics import DEFAULT_DELETE_LIST
 
     dl = delete_list if delete_list is not None else DEFAULT_DELETE_LIST
-    dl_vals = ", ".join(f"('{x.replace(chr(39), chr(39) * 2)}')" for x in dl) or "(NULL)"
     cw = community_works_sql(edges_sql, membership_sql)
+    if dl:
+        dl_vals = ", ".join(f"('{x.replace(chr(39), chr(39) * 2)}')" for x in dl)
+        # NOT EXISTS, not NOT IN: an empty/NULL-bearing list under NOT IN
+        # yields no rows at all (NULL semantics) — the opposite of the
+        # Spark side's "empty list filters nothing".
+        dl_cte = f"dl(label) AS (VALUES {dl_vals}),"
+        dl_where = "WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.label = counts.topic)"
+    else:
+        dl_cte = ""
+        dl_where = ""
     return f"""
 WITH cw AS ({cw}),
-dl(label) AS (VALUES {dl_vals}),
+{dl_cte}
 counts AS (
   SELECT cw.interval, cw.community, t.topic, count(*) AS n
   FROM cw JOIN ({work_topics_sql}) t USING (work_id)
   GROUP BY 1, 2, 3
 )
 SELECT interval, community, topic, n FROM counts
-WHERE topic NOT IN (SELECT label FROM dl)
+{dl_where}
 """
 
 
@@ -517,6 +526,130 @@ ha AS (SELECT -sum((CAST(ni AS DOUBLE) / n) * ln(CAST(ni AS DOUBLE) / n)) AS ha 
 hb AS (SELECT -sum((CAST(nj AS DOUBLE) / n) * ln(CAST(nj AS DOUBLE) / n)) AS hb FROM pb, tot)
 SELECT CASE WHEN ha + hb > 0 THEN round(2 * mi / (ha + hb), 6) ELSE 1.0 END AS nmi
 FROM mi, ha, hb
+"""
+
+
+def pairwise_nmi_stats(
+    mem: DataFrame,
+    run_col: str = "run",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Community-stability ensemble statistics (reference
+    06_community_stability.py:76-104): pairwise NMI between every pair
+    of labelings (runs) of the same node universe, restricted per pair
+    to the common nodes, then mean/std (population, np.std semantics)
+    over the R·(R−1)/2 pair values.
+
+    Distributed shape: ONE self-join on node with ``run_i < run_j``
+    fans the membership table into per-pair contingency cells; all
+    entropies/MI are per-pair aggregations — no driver loop over run
+    pairs, so R runs over a 10^8-node graph cost one shuffle of
+    n_nodes·R(R−1)/2 rows, partitioned by (pair, labels). The
+    reference's adjusted-NMI twin (AMI) needs the hypergeometric
+    expected-MI correction and is intentionally not implemented.
+
+    Returns one row: (n_runs, n_pairs, nmi_mean, nmi_std, nmi_min,
+    nmi_max)."""
+    m = mem.select(
+        F.col(run_col).cast("long").alias("run"),
+        F.col(node_col).alias("node"),
+        F.col(label_col).alias("lab"),
+    )
+    a = m.select(F.col("run").alias("ri"), "node", F.col("lab").alias("la"))
+    b = m.select(F.col("run").alias("rj"), "node", F.col("lab").alias("lb"))
+    joint = a.join(b, "node").where(F.col("ri") < F.col("rj"))
+    cont = joint.groupBy("ri", "rj", "la", "lb").agg(F.count("*").alias("nij"))
+    pa = cont.groupBy("ri", "rj", "la").agg(F.sum("nij").alias("ni"))
+    pb = cont.groupBy("ri", "rj", "lb").agg(F.sum("nij").alias("nj"))
+    tot = cont.groupBy("ri", "rj").agg(F.sum("nij").alias("n"))
+    ln = F.log
+    per_pair = (
+        cont.join(pa, ["ri", "rj", "la"])
+        .join(pb, ["ri", "rj", "lb"])
+        .join(tot, ["ri", "rj"])
+        .groupBy("ri", "rj")
+        .agg(
+            F.sum(
+                (F.col("nij") / F.col("n"))
+                * ln(F.col("n") * F.col("nij") / (F.col("ni") * F.col("nj")))
+            ).alias("mi")
+        )
+    )
+    ha = (
+        pa.join(tot, ["ri", "rj"])
+        .groupBy("ri", "rj")
+        .agg((-F.sum((F.col("ni") / F.col("n")) * ln(F.col("ni") / F.col("n")))).alias("ha"))
+    )
+    hb = (
+        pb.join(tot, ["ri", "rj"])
+        .groupBy("ri", "rj")
+        .agg((-F.sum((F.col("nj") / F.col("n")) * ln(F.col("nj") / F.col("n")))).alias("hb"))
+    )
+    nmi_pairs = (
+        per_pair.join(ha, ["ri", "rj"])
+        .join(hb, ["ri", "rj"])
+        .select(
+            F.when(
+                F.col("ha") + F.col("hb") > 0,
+                2 * F.col("mi") / (F.col("ha") + F.col("hb")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("nmi")
+        )
+    )
+    return nmi_pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("nmi"), 6).alias("nmi_mean"),
+        F.round(
+            F.sqrt(F.avg(F.col("nmi") * F.col("nmi")) - F.avg("nmi") * F.avg("nmi")),
+            6,
+        ).alias("nmi_std"),
+        F.round(F.min("nmi"), 6).alias("nmi_min"),
+        F.round(F.max("nmi"), 6).alias("nmi_max"),
+    ).crossJoin(
+        m.select(F.countDistinct("run").alias("n_runs"))
+    ).select("n_runs", "n_pairs", "nmi_mean", "nmi_std", "nmi_min", "nmi_max")
+
+
+def pairwise_nmi_stats_sql(
+    mem_sql: str,
+    run_col: str = "run",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> str:
+    return f"""
+WITH m AS (SELECT CAST({run_col} AS BIGINT) AS run, {node_col} AS node, {label_col} AS lab
+           FROM ({mem_sql})),
+joint AS (
+  SELECT a.run AS ri, b.run AS rj, a.lab AS la, b.lab AS lb
+  FROM m a JOIN m b ON a.node = b.node AND a.run < b.run
+),
+cont AS (SELECT ri, rj, la, lb, count(*) AS nij FROM joint GROUP BY 1, 2, 3, 4),
+pa AS (SELECT ri, rj, la, sum(nij) AS ni FROM cont GROUP BY 1, 2, 3),
+pb AS (SELECT ri, rj, lb, sum(nij) AS nj FROM cont GROUP BY 1, 2, 3),
+tot AS (SELECT ri, rj, sum(nij) AS n FROM cont GROUP BY 1, 2),
+mi AS (
+  SELECT c.ri, c.rj,
+         sum((CAST(nij AS DOUBLE) / n) * ln(n * CAST(nij AS DOUBLE) / (ni * nj))) AS mi
+  FROM cont c JOIN pa USING (ri, rj, la) JOIN pb USING (ri, rj, lb) JOIN tot USING (ri, rj)
+  GROUP BY 1, 2
+),
+ha AS (SELECT ri, rj, -sum((CAST(ni AS DOUBLE) / n) * ln(CAST(ni AS DOUBLE) / n)) AS ha
+       FROM pa JOIN tot USING (ri, rj) GROUP BY 1, 2),
+hb AS (SELECT ri, rj, -sum((CAST(nj AS DOUBLE) / n) * ln(CAST(nj AS DOUBLE) / n)) AS hb
+       FROM pb JOIN tot USING (ri, rj) GROUP BY 1, 2),
+pairs AS (
+  SELECT CASE WHEN ha + hb > 0 THEN 2 * mi / (ha + hb) ELSE 1.0 END AS nmi
+  FROM mi JOIN ha USING (ri, rj) JOIN hb USING (ri, rj)
+),
+nr AS (SELECT count(DISTINCT run) AS n_runs FROM m)
+SELECT n_runs, count(*) AS n_pairs,
+       round(avg(nmi), 6) AS nmi_mean,
+       round(sqrt(avg(nmi * nmi) - avg(nmi) * avg(nmi)), 6) AS nmi_std,
+       round(min(nmi), 6) AS nmi_min,
+       round(max(nmi), 6) AS nmi_max
+FROM pairs, nr GROUP BY n_runs
 """
 
 

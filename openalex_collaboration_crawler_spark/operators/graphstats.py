@@ -351,6 +351,17 @@ FROM totals, st, ip, np
 """
 
 
+#: Hard per-group ceiling for the in-memory Louvain solve. One
+#: applyInPandas group must fit a single task's memory; a backboned
+#: interval graph is orders of magnitude below this, the FULL 100-TB
+#: edge list is orders above — failing loudly beats a silent
+#: one-task-OOM-or-crawl.
+LOUVAIN_MAX_EDGES_PER_GROUP = 5_000_000
+
+#: Column auto-used as the per-graph grouping key when present.
+LOUVAIN_DEFAULT_GRAPH_COLS = ("interval", "graph", "year_bucket")
+
+
 def louvain_communities(
     weighted: DataFrame,
     seed: int = 42,
@@ -358,6 +369,7 @@ def louvain_communities(
     b: str = "author2",
     w: str = "weight",
     graph_col: str | None = None,
+    max_edges_per_group: int = LOUVAIN_MAX_EDGES_PER_GROUP,
 ) -> DataFrame:
     """Louvain community detection (reference 05_community_extraction.
     py:60-63, networkx louvain seed=42).
@@ -369,6 +381,14 @@ def louvain_communities(
     graphs (per interval) parallelize across the cluster. Output:
     (graph, node, community) with community = min member node id.
 
+    Grouping: if ``graph_col`` is None, the first match from
+    ``LOUVAIN_DEFAULT_GRAPH_COLS`` present in the input is used, so a
+    per-interval edge table parallelizes by default instead of landing
+    in one task. A graph-less input runs as a single group — the
+    survey-blessed per-backbone strategy — guarded by
+    ``max_edges_per_group`` (the solve raises rather than letting a
+    full-scale edge list crawl inside one task).
+
     The implementation is a from-scratch two-phase Louvain (local
     moves + aggregation), deterministic under ``seed``; it matches
     networkx in structure, not necessarily in the exact partition
@@ -376,9 +396,12 @@ def louvain_communities(
     (its stability study runs unseeded, 06:71)."""
     import pandas as pd
 
-    gcol = graph_col or "__g"
+    if graph_col is None:
+        graph_col = next(
+            (c for c in LOUVAIN_DEFAULT_GRAPH_COLS if c in weighted.columns), None
+        )
     e = weighted.select(
-        (F.col(graph_col) if graph_col else F.lit("all")).alias("g"),
+        (F.col(graph_col) if graph_col else F.lit("all")).cast("string").alias("g"),
         F.col(a).alias("u"),
         F.col(b).alias("v"),
         F.col(w).cast("double").alias("wt"),
@@ -386,6 +409,12 @@ def louvain_communities(
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf["g"].iloc[0]
+        if len(pdf) > max_edges_per_group:
+            raise ValueError(
+                f"louvain group {g!r} has {len(pdf)} edges > "
+                f"max_edges_per_group={max_edges_per_group}; backbone the "
+                "graph first or pass a finer graph_col"
+            )
         comm = _louvain_python(
             list(zip(pdf["u"], pdf["v"], pdf["wt"])), seed=seed
         )
@@ -395,6 +424,53 @@ def louvain_communities(
 
     out_schema = "graph string, node long, community long"
     return e.groupBy("g").applyInPandas(lambda key, p: solve(p), schema=out_schema)
+
+
+def louvain_ensemble(
+    weighted: DataFrame,
+    runs: int = 8,
+    seed0: int = 42,
+    a: str = "author1",
+    b: str = "author2",
+    w: str = "weight",
+    max_edges_per_group: int = LOUVAIN_MAX_EDGES_PER_GROUP,
+) -> DataFrame:
+    """R independently-seeded Louvain runs over the same graph
+    (reference 06_community_stability.py:67-74, which re-runs
+    ``nx.community.louvain_communities`` with a fresh seed per run).
+
+    Spark shape: the edge list fans out ``runs``× tagged with a run
+    id (one explode, no driver loop) and each run solves as its own
+    ``applyInPandas`` group with seed = seed0 + run — R solves run in
+    parallel across the cluster. Feed the output to
+    ``analytics.pairwise_nmi_stats`` for the stability mean/std.
+
+    Output: (run:long, node:long, label:long)."""
+    import pandas as pd
+
+    e = weighted.select(
+        F.explode(F.sequence(F.lit(0), F.lit(runs - 1))).alias("run"),
+        F.col(a).alias("u"),
+        F.col(b).alias("v"),
+        F.col(w).cast("double").alias("wt"),
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        run = int(pdf["run"].iloc[0])
+        if len(pdf) > max_edges_per_group:
+            raise ValueError(
+                f"louvain run {run} has {len(pdf)} edges > "
+                f"max_edges_per_group={max_edges_per_group}; backbone first"
+            )
+        comm = _louvain_python(
+            list(zip(pdf["u"], pdf["v"], pdf["wt"])), seed=seed0 + run
+        )
+        return pd.DataFrame(
+            {"run": run, "node": list(comm), "label": [comm[n] for n in comm]}
+        )
+
+    out_schema = "run long, node long, label long"
+    return e.groupBy("run").applyInPandas(lambda key, p: solve(p), schema=out_schema)
 
 
 def _louvain_python(edges: list[tuple], seed: int = 42) -> dict:

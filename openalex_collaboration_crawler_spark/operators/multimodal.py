@@ -135,8 +135,12 @@ def _fake_resize(blob: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for decode→resize→encode: output bytes
     derive from (input digest, target dims) with size ∝ area — a real
     deployment registers a PIL/opencv transformer with this exact
-    signature; the Spark-side schema/batching is identical."""
-    digest = hashlib.sha256(blob + f"{width}x{height}".encode()).digest()
+    signature; the Spark-side schema/batching is identical.
+
+    The fake output is the ASCII hex digest (not raw digest bytes) so
+    the driver's DuckDB oracle — whose hash functions are VARCHAR-only
+    — can reproduce it byte-for-byte; the column stays ``binary``."""
+    digest = hashlib.sha256(blob + f"{width}x{height}".encode()).hexdigest().encode()
     return digest * max(1, (width * height) // (16 * len(digest)))
 
 
@@ -207,7 +211,11 @@ def sample_video_frames(
                 for i in range(n_frames):
                     ids.append(int(mid))
                     idxs.append(i)
-                    blobs.append(hashlib.sha256(bytes(blob) + bytes([i])).digest())
+                    # ASCII hex frame payload (oracle-reproducible; see
+                    # _fake_resize) — still an opaque binary column
+                    blobs.append(
+                        hashlib.sha256(bytes(blob) + str(i).encode()).hexdigest().encode()
+                    )
                     tss.append(i * frame_interval_ms)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": blobs, "ts_ms": tss}
@@ -217,8 +225,14 @@ def sample_video_frames(
 
 
 def build_synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media corpus: zlib-compressed pseudo-random
-    bytes tagged with a kind — exercises the full binary path."""
+    """Deterministic fake media corpus: pseudo-random ASCII-hex bytes
+    tagged with a kind — exercises the full opaque-binary path.
+
+    blob = sha256(str(media_id)).hexdigest() × 16 (1,024 bytes). Using
+    the hex digest rather than raw digest bytes keeps every synthetic
+    blob valid UTF-8, so the driver's DuckDB oracle (VARCHAR-only hash
+    functions) can rebuild the corpus and hash the identical byte
+    stream; Spark still carries it as ``binary`` end-to-end."""
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
@@ -232,7 +246,7 @@ def build_synthetic_media(spark, n: int = 64) -> DataFrame:
         for pdf in batches:
             out = pdf[["media_id", "kind"]].copy()
             out["blob"] = [
-                zlib.compress(hashlib.sha256(s.encode()).digest() * 32, 6)
+                hashlib.sha256(s.encode()).hexdigest().encode() * 16
                 for s in pdf["payload_seed"]
             ]
             yield out

@@ -194,8 +194,22 @@ def topic_category_distribution_sql(
     dl = delete_list if delete_list is not None else DEFAULT_DELETE_LIST
     sy = synonym_filter if synonym_filter is not None else DEFAULT_SYNONYM_FILTER
     cm = category_map if category_map is not None else DEFAULT_CATEGORY_MAP
-    dl_vals = ", ".join(f"('{x.replace(chr(39), chr(39) * 2)}')" for x in dl) or "(NULL)"
-    sy_vals = ", ".join(f"('{x.replace(chr(39), chr(39) * 2)}')" for x in sy) or "(NULL)"
+
+    def vals(xs: list[str]) -> str:
+        return ", ".join(f"('{x.replace(chr(39), chr(39) * 2)}')" for x in xs)
+
+    # NOT EXISTS, not NOT IN: NOT IN against a NULL-bearing (or
+    # NULL-placeholder empty) list yields no rows at all — the opposite
+    # of the Spark side, where an empty list filters nothing.
+    filters = []
+    ctes = []
+    if dl:
+        ctes.append(f"dl(label) AS (VALUES {vals(dl)}),")
+        filters.append("NOT EXISTS (SELECT 1 FROM dl WHERE dl.label = c.label)")
+    if sy:
+        ctes.append(f"sy(label) AS (VALUES {vals(sy)}),")
+        filters.append("NOT EXISTS (SELECT 1 FROM sy WHERE sy.label = c.label)")
+    kept_where = ("WHERE " + " AND ".join(filters)) if filters else ""
     cm_vals = (
         ", ".join(
             f"('{a.replace(chr(39), chr(39) * 2)}', '{b.replace(chr(39), chr(39) * 2)}')"
@@ -206,14 +220,12 @@ def topic_category_distribution_sql(
     norm = normalize_topic_label_sql(topic_col)
     return f"""
 WITH raw AS (SELECT {year_col} AS year, {norm} AS label FROM ({topics_sql})),
-dl(label) AS (VALUES {dl_vals}),
-sy(label) AS (VALUES {sy_vals}),
+{''.join(ctes)}
 cm(label, category) AS (VALUES {cm_vals}),
 counts AS (SELECT year, label, count(*) AS n FROM raw GROUP BY 1, 2),
 kept AS (
   SELECT c.* FROM counts c
-  WHERE c.label NOT IN (SELECT label FROM dl)
-    AND c.label NOT IN (SELECT label FROM sy)
+  {kept_where}
 ),
 mapped AS (
   SELECT k.year, coalesce(cm.category, k.label) AS category, sum(k.n) AS n

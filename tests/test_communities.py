@@ -80,3 +80,109 @@ def test_topk_pivot(spark):
     )
     got = topk_pivot(df, "g", "item", k=3).collect()[0]
     assert (got["rank_1"], got["rank_2"], got["rank_3"]) == ("x", "y", "z")
+
+
+def test_louvain_ensemble_stability(spark):
+    """Script-06 composition: R seeded runs → pairwise NMI mean/std.
+    Two strong cliques + a weak bridge: every seed finds the same
+    2-community partition → nmi_mean == 1.0, nmi_std == 0.0; the
+    distributed ensemble stats agree with a per-pair python NMI."""
+    import math
+
+    from openalex_collaboration_crawler_spark.operators.analytics import (
+        pairwise_nmi_stats,
+    )
+    from openalex_collaboration_crawler_spark.operators.graphstats import (
+        louvain_ensemble,
+    )
+
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j, 10))
+    edges.append((0, 10, 1))
+    df = spark.createDataFrame(edges, "author1 long, author2 long, weight long")
+
+    mem = louvain_ensemble(df, runs=4, seed0=7)
+    rows = mem.collect()
+    runs = {r["run"] for r in rows}
+    assert runs == {0, 1, 2, 3}
+    # every run labels all 8 nodes, identically to the seeded solver
+    for run in runs:
+        labels = {r["node"]: r["label"] for r in rows if r["run"] == run}
+        assert labels == _louvain_python(edges, seed=7 + run)
+
+    got = pairwise_nmi_stats(mem).collect()[0]
+    assert got["n_runs"] == 4 and got["n_pairs"] == 6
+    assert got["nmi_mean"] == 1.0 and got["nmi_std"] == 0.0
+
+    # heterogeneous labelings: distributed stats == hand NMI over pairs
+    lab = [
+        {n: n % 2 for n in range(12)},          # even/odd
+        {n: n // 6 for n in range(12)},         # halves
+        {n: n % 2 for n in range(12)},          # even/odd again
+    ]
+    mem2 = spark.createDataFrame(
+        [(r, n, l) for r, d in enumerate(lab) for n, l in d.items()],
+        "run long, node long, label long",
+    )
+    got2 = pairwise_nmi_stats(mem2).collect()[0]
+
+    def h(counts, n):
+        return -sum(c / n * math.log(c / n) for c in counts.values())
+
+    def py_nmi(a, b):
+        n = len(a)
+        cont = {}
+        ca, cb = {}, {}
+        for node in a:
+            key = (a[node], b[node])
+            cont[key] = cont.get(key, 0) + 1
+            ca[a[node]] = ca.get(a[node], 0) + 1
+            cb[b[node]] = cb.get(b[node], 0) + 1
+        mi = sum(
+            c / n * math.log(n * c / (ca[i] * cb[j])) for (i, j), c in cont.items()
+        )
+        denom = h(ca, n) + h(cb, n)
+        return 1.0 if denom == 0 else 2 * mi / denom
+
+    vals = [py_nmi(lab[i], lab[j]) for i in range(3) for j in range(i + 1, 3)]
+    mean = sum(vals) / len(vals)
+    std = math.sqrt(sum(v * v for v in vals) / len(vals) - mean * mean)
+    assert abs(got2["nmi_mean"] - round(mean, 6)) < 1e-9
+    assert abs(got2["nmi_std"] - round(std, 6)) < 1e-9
+
+
+def test_louvain_per_interval_default_and_guard(spark):
+    """graph_col defaults to the interval column when present (parallel
+    per-interval groups), and the solve refuses oversized groups."""
+    import pytest
+
+    from openalex_collaboration_crawler_spark.operators.graphstats import (
+        louvain_communities,
+    )
+
+    edges = []
+    for interval in ("1990-2000", "2000-2010"):
+        base = 0 if interval < "2000" else 100
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((interval, base + i, base + j, 5))
+    df = spark.createDataFrame(
+        edges, "interval string, author1 long, author2 long, weight long"
+    )
+    out = louvain_communities(df).collect()  # no graph_col passed
+    graphs = {r["graph"] for r in out}
+    assert graphs == {"1990-2000", "2000-2010"}  # grouped per interval
+    # per-interval membership matches the single-graph solve of that slice
+    for interval, base in (("1990-2000", 0), ("2000-2010", 100)):
+        sub = {r["node"]: r["community"] for r in out if r["graph"] == interval}
+        want = _louvain_python(
+            [(u, v, w) for iv, u, v, w in edges if iv == interval], seed=42
+        )
+        assert sub == want
+
+    plain = df.drop("interval")
+    with pytest.raises(Exception, match="max_edges_per_group"):
+        louvain_communities(plain, max_edges_per_group=3).collect()
