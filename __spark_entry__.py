@@ -882,6 +882,21 @@ def _q_topic_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.topic_category_distribution(_raw_topics(spark, sf_dir), k=5)
 
 
+def _q_topic_normalize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topic_normalize against the PACKAGED full reference mapping
+    tables (analysis/mappings.py + the 57k-row topic_to_category,
+    shipped as parquet data — see tools/build_mapping_fixtures.py);
+    the oracle reads the identical parquet files in DuckDB."""
+    full = TP.load_full_mappings(spark)
+    return TP.topic_category_distribution(
+        _raw_topics(spark, sf_dir),
+        delete_list=full["delete_list"],
+        synonym_filter=full["synonym_filter"],
+        category_map=full["topic_to_category"],
+        k=5,
+    )
+
+
 def _q_structural_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GS.structural_stats(ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))))
 
@@ -891,6 +906,18 @@ def _q_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight") >= 3
     )
     return GS.null_model_stats(w, n_runs=8, seed=42)
+
+
+def _q_null_model_degree_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≥10^8-node Chung-Lu path: degree-class sampling (candidate
+    rows O(edges·runs), never the i<j cross join). Deterministic
+    column math end-to-end → full DuckDB oracle even for the scale
+    path; distributional agreement with the exact pair sampler is
+    pinned in tests/test_null_model_degree_class.py."""
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    return GS.null_model_stats_degree_class(w, n_runs=8, seed=42)
 
 
 _IEDGES_SQL = f"SELECT year AS interval, work_id, a1, a2 FROM ({_EDGES_SQL})"
@@ -1055,8 +1082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structural_stats_lcc": _q_structural_stats_lcc,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "topic_normalize": _q_topic_normalize,
+        "topic_normalize_full": _q_topic_normalize_full,
         "structural_stats": _q_structural_stats,
         "null_model_stats": _q_null_model,
+        "null_model_degree_class": _q_null_model_degree_class,
         "community_topics": _q_community_topics,
         "community_labels": _q_community_labels,
         "community_stability": _q_community_stability,
@@ -1168,8 +1197,14 @@ GROUP BY 1, 2
         ),
         "ann_ivf_topk": SIM.ivf_topk_sql("embeddings", _QUERIES_VEC_SQL, k=5),
         "topic_normalize": TP.topic_category_distribution_sql(_raw_topics_sql(), k=5),
+        "topic_normalize_full": TP.topic_category_distribution_parquet_sql(
+            _raw_topics_sql(), k=5
+        ),
         "structural_stats": GS.structural_stats_sql(_WEIGHTED_SQL),
         "null_model_stats": GS.null_model_stats_sql(
+            f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3", n_runs=8, seed=42
+        ),
+        "null_model_degree_class": GS.null_model_stats_degree_class_sql(
             f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3", n_runs=8, seed=42
         ),
         "community_topics": AN.community_topic_counts_sql(

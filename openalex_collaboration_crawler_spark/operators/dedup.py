@@ -24,6 +24,21 @@ Scale notes:
 - simhash: one groupBy(doc) with 2×bits conditional sums — no
   row blowup at all.
 - pairwise verify joins emit (a,b) with a<b only, halving traffic.
+
+Block lifetime & fault tolerance: the candidate-pair builders pin
+their shared frame with an EAGER ``localCheckpoint`` (a Spark job at
+plan-construction time). This is deliberate: the frame feeds both
+sides of a self-join, and without pinning each consumer re-executes
+the subtree (and a re-executed nondeterministic ordering could change
+bucket-cap survivors). The pinned blocks live in the block manager
+until the DataFrame is garbage-collected (ContextCleaner) — CALLERS
+OWN THAT LIFETIME: in a long-lived session, drop references (or call
+``spark.sparkContext._jsc.sc().cleaner()`` via gc) once consumed.
+``localCheckpoint`` data is not recomputable after executor loss; on
+a multi-executor cluster an executor failure aborts the operator and
+the caller re-runs it — acceptable for these second-scale jobs,
+whereas the crawl loop (streaming/frontier.py) owns its persistence
+explicitly and gc-collects per batch.
 """
 
 from __future__ import annotations

@@ -16,12 +16,21 @@
 
 All deterministic; CC has a DuckDB recursive-CTE oracle in
 __spark_entry__.
+
+Block lifetime & fault tolerance: several operators pin shared
+subframes with eager ``localCheckpoint`` (see dedup.py's module note
+for the full contract). Short version: pinning is what keeps the
+multi-consumer plans from re-expanding (structural_stats measured
+>1000 exchanges unpinned) and keeps iterative CC's lineage O(1);
+callers own block lifetime (blocks free when the DataFrame is
+GC'd), and executor loss aborts the operator — re-run it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
@@ -969,6 +978,380 @@ def null_model_stats(
         F.round(F.avg("std_degree"), 6).alias("mean_std_degree"),
         F.round(F.var_samp("std_degree"), 6).alias("var_std_degree"),
     )
+
+
+def _degree_class_candidates(
+    deg: DataFrame, n_runs: int = 8, seed: int = 42
+) -> DataFrame:
+    """Degree-class Chung-Lu edge sampler — the ≥10^8-node path that
+    ``null_model_stats`` documents (nodes of equal degree are
+    exchangeable, so sampling happens per degree-CLASS pair: D² class
+    pairs with D = #distinct degrees ≪ n, then class-local indices map
+    back to concrete nodes by hash order).
+
+    Input: ``deg`` = (node, d). Output: (r, i, j) sampled edges for
+    runs 0..n_runs−1. Total row count is O(Σ expected edges · runs +
+    D²·runs), never O(n²): per (run, class pair) the edge COUNT k is a
+    normal-approximated Binomial(n_pairs, p) draw (mean AND variance
+    preserved — the ensemble's reason to exist) from a portable hashed
+    uniform, and the k pairs are a contiguous block of linear pair
+    indices at a hashed offset. Node order within a class is hashed,
+    so a contiguous index block is a pseudo-random pair set; the
+    approximation trades per-pair independence for column-only,
+    engine-portable determinism (documented; the exact per-pair
+    Bernoulli path remains ``null_model_stats``)."""
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
+
+    spark = deg.sparkSession
+    # rank nodes inside their degree class by hash order
+    w_rank = Window.partitionBy("d").orderBy(portable_hash64(F.col("node").cast("string")), "node")
+    ranked = deg.select(
+        "node", "d", (F.row_number().over(w_rank) - 1).alias("rk")
+    ).localCheckpoint()
+    classes = ranked.groupBy("d").agg(F.count("*").alias("c"))
+    sum_d = ranked.agg(F.sum("d").alias("sum_d"))
+    c1 = classes.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    c2 = classes.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    runs = spark.range(n_runs).select(F.col("id").alias("r"))
+    # D² class pairs × runs — the small candidate universe
+    cp = (
+        c1.join(c2, F.col("d1") <= F.col("d2"))
+        .crossJoin(F.broadcast(sum_d))
+        .crossJoin(F.broadcast(runs))
+        .select(
+            "r",
+            "d1",
+            "d2",
+            "c1",
+            "c2",
+            F.when(
+                F.col("d1") == F.col("d2"),
+                (F.col("c1") * (F.col("c1") - 1) / 2).cast("long"),
+            )
+            .otherwise((F.col("c1") * F.col("c2")).cast("long"))
+            .alias("n_pairs"),
+            F.least(
+                F.lit(1.0),
+                F.col("d1").cast("double") * F.col("d2").cast("double") / F.col("sum_d"),
+            ).alias("p"),
+        )
+        .where(F.col("n_pairs") > 0)
+    )
+
+    def u01(tag: str) -> F.Column:
+        return (
+            F.pmod(
+                portable_hash64(
+                    F.concat_ws(
+                        "|",
+                        F.lit(tag),
+                        F.lit(seed).cast("string"),
+                        F.col("r").cast("string"),
+                        F.col("d1").cast("string"),
+                        F.col("d2").cast("string"),
+                    )
+                ),
+                F.lit(1_000_000),
+            ).cast("double")
+            + 0.5
+        ) / 1_000_000.0
+
+    # Binomial(n_pairs, p) via normal approximation: k = μ + z·σ with
+    # z from a rational inverse-normal-CDF (Acklam-style 2-term; exact
+    # moments matter, tail shape does not for a null ensemble)
+    u = u01("dcnull_k")
+    # Beasley-Springer/Moro central region inverse CDF (|u-0.5|<=0.42),
+    # clamped tails — column-only, portable to SQL
+    y = u - 0.5
+    z_central = y * (
+        F.lit(2.50662823884)
+        + y * y * (F.lit(-18.61500062529) + y * y * (F.lit(41.39119773534) + y * y * F.lit(-25.44106049637)))
+    ) / (
+        F.lit(1.0)
+        + y * y * (F.lit(-8.47351093090) + y * y * (F.lit(23.08336743743) + y * y * (F.lit(-21.06224101826) + y * y * F.lit(3.13082909833))))
+    )
+    z = F.greatest(F.lit(-4.0), F.least(F.lit(4.0), z_central))
+    mu = F.col("n_pairs") * F.col("p")
+    sigma = F.sqrt(mu * (1.0 - F.col("p")))
+    k = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("n_pairs"), F.round(mu + z * sigma).cast("long")),
+    )
+    off = (F.pmod(
+        portable_hash64(
+            F.concat_ws(
+                "|",
+                F.lit("dcnull_off"),
+                F.lit(seed).cast("string"),
+                F.col("r").cast("string"),
+                F.col("d1").cast("string"),
+                F.col("d2").cast("string"),
+            )
+        ),
+        F.greatest(F.col("n_pairs"), F.lit(1)),
+    )).alias("off")
+    drawn = cp.select("r", "d1", "d2", "c1", "c2", "n_pairs", k.alias("k"), off).where(
+        F.col("k") > 0
+    )
+    # explode k linear indices (contiguous block mod n_pairs)
+    idx = drawn.select(
+        "r",
+        "d1",
+        "d2",
+        "c1",
+        "c2",
+        "n_pairs",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("t"),
+        "off",
+    ).select(
+        "r",
+        "d1",
+        "d2",
+        "c1",
+        "c2",
+        F.pmod(F.col("off") + F.col("t"), F.col("n_pairs")).alias("idx"),
+    )
+    # linear index → (rank1, rank2)
+    cross = idx.where(F.col("d1") != F.col("d2")).select(
+        "r",
+        "d1",
+        "d2",
+        F.expr("idx div c2").alias("rk1"),  # integer div: exact past 2^53
+        F.pmod(F.col("idx"), F.col("c2")).alias("rk2"),
+    )
+    # same-class upper triangle: row a = floor((2c-1-sqrt((2c-1)^2-8·idx))/2)
+    # with a ±1 float-edge correction, then b = idx - offset(a) + a + 1
+    cc = F.col("c1").cast("double")
+    a_raw = F.floor(
+        (2.0 * cc - 1.0 - F.sqrt((2.0 * cc - 1.0) * (2.0 * cc - 1.0) - 8.0 * F.col("idx"))) / 2.0
+    ).cast("long")
+
+    def tri_off(acol):
+        return (acol * (2 * F.col("c1") - acol - 1) / 2).cast("long")
+
+    same0 = idx.where(F.col("d1") == F.col("d2")).select(
+        "r", "d1", "d2", "c1", "idx", a_raw.alias("a0")
+    )
+    same1 = same0.select(
+        "r",
+        "d1",
+        "d2",
+        "c1",
+        "idx",
+        F.when(tri_off(F.col("a0") + 1) <= F.col("idx"), F.col("a0") + 1)
+        .when(tri_off(F.col("a0")) > F.col("idx"), F.col("a0") - 1)
+        .otherwise(F.col("a0"))
+        .alias("a"),
+    )
+    same = same1.select(
+        "r",
+        "d1",
+        "d2",
+        F.col("a").alias("rk1"),
+        (F.col("idx") - tri_off(F.col("a")) + F.col("a") + 1).alias("rk2"),
+    )
+    pairs_rk = cross.unionByName(same)
+    # ranks → nodes (two co-partitioned joins on (degree, rank))
+    n1 = ranked.select(F.col("d").alias("d1"), F.col("rk").alias("rk1"), F.col("node").alias("i"))
+    n2 = ranked.select(F.col("d").alias("d2"), F.col("rk").alias("rk2"), F.col("node").alias("j"))
+    return (
+        pairs_rk.join(n1, ["d1", "rk1"])
+        .join(n2, ["d2", "rk2"])
+        .select("r", F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"))
+    )
+
+
+def null_model_stats_degree_class(
+    weighted: DataFrame,
+    n_runs: int = 8,
+    seed: int = 42,
+    a: str = "author1",
+    b: str = "author2",
+) -> DataFrame:
+    """A13 at scale: the same null-model ensemble statistics as
+    ``null_model_stats`` but with the degree-class sampler
+    (``_degree_class_candidates``) — candidate rows O(m·runs + D²·runs)
+    instead of the full i<j cross join, so it runs on the FULL graph,
+    not just backbones. Same output schema; distributions agree with
+    the exact pair sampler in expectation (pytest-checked), not
+    row-for-row (different, documented sampling procedure — hence no
+    shared DuckDB oracle with the exact path)."""
+    e = weighted.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
+        F.col(a) != F.col(b)
+    )
+    ends = e.select(F.col("u").alias("node")).unionAll(e.select(F.col("v").alias("node")))
+    deg = ends.groupBy("node").agg(F.count("*").alias("d"))
+    sampled = _degree_class_candidates(deg, n_runs=n_runs, seed=seed)
+    spark = weighted.sparkSession
+    runs = spark.range(n_runs).select(F.col("id").alias("r"))
+    gen_ends = sampled.select("r", F.col("i").alias("node")).unionAll(
+        sampled.select("r", F.col("j").alias("node"))
+    )
+    gen_deg = gen_ends.groupBy("r", "node").agg(F.count("*").alias("gd"))
+    all_nodes = deg.select("node").crossJoin(F.broadcast(runs))
+    full = all_nodes.join(gen_deg, ["r", "node"], "left").select(
+        "r", F.coalesce(F.col("gd"), F.lit(0)).alias("gd")
+    )
+    per_run = full.groupBy("r").agg(
+        (F.sum("gd") / 2).cast("long").alias("n_edges"),
+        F.max("gd").alias("max_degree"),
+        (F.sum("gd").cast("double") / F.count("*").cast("double")).alias("mean_degree"),
+        F.expr("percentile(gd, 0.5)").alias("median_degree"),
+        F.sqrt(
+            (
+                F.sum(F.col("gd") * F.col("gd")).cast("double")
+                - F.sum("gd").cast("double") * F.sum("gd").cast("double") / F.count("*").cast("double")
+            )
+            / F.count("*").cast("double")
+        ).alias("std_degree"),
+    )
+    return per_run.agg(
+        F.count("*").alias("n_runs"),
+        F.round(F.avg("n_edges"), 6).alias("mean_n_edges"),
+        F.round(F.var_samp("n_edges"), 6).alias("var_n_edges"),
+        F.round(F.avg("max_degree"), 6).alias("mean_max_degree"),
+        F.round(F.var_samp("max_degree"), 6).alias("var_max_degree"),
+        F.round(F.avg("mean_degree"), 6).alias("mean_mean_degree"),
+        F.round(F.var_samp("mean_degree"), 6).alias("var_mean_degree"),
+        F.round(F.avg("median_degree"), 6).alias("mean_median_degree"),
+        F.round(F.var_samp("median_degree"), 6).alias("var_median_degree"),
+        F.round(F.avg("std_degree"), 6).alias("mean_std_degree"),
+        F.round(F.var_samp("std_degree"), 6).alias("var_std_degree"),
+    )
+
+
+def null_model_stats_degree_class_sql(
+    weighted_sql: str, n_runs: int = 8, seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`null_model_stats_degree_class` — the
+    degree-class sampler is deterministic column math end-to-end
+    (portable hash → uniform → inverse-normal-CDF polynomial → block
+    indices → triangle decode), so even the scale path gets a full
+    rows+schema+hash oracle."""
+    from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64_sql
+
+    def h(tag: str) -> str:
+        return portable_hash64_sql(
+            f"('{tag}|' || '{seed}' || '|' || CAST(r AS VARCHAR)"
+            f" || '|' || CAST(d1 AS VARCHAR) || '|' || CAST(d2 AS VARCHAR))"
+        )
+
+    hk = h("dcnull_k")
+    hoff = h("dcnull_off")
+    rank_hash = portable_hash64_sql("CAST(node AS VARCHAR)")
+    # Beasley-Springer/Moro central inverse normal CDF (same op order
+    # as the Spark column expression)
+    z_num = (
+        "(u - 0.5) * (2.50662823884 + (u - 0.5)*(u - 0.5)*(-18.61500062529 + "
+        "(u - 0.5)*(u - 0.5)*(41.39119773534 + (u - 0.5)*(u - 0.5)*(-25.44106049637))))"
+    )
+    z_den = (
+        "(1.0 + (u - 0.5)*(u - 0.5)*(-8.47351093090 + (u - 0.5)*(u - 0.5)*"
+        "(23.08336743743 + (u - 0.5)*(u - 0.5)*(-21.06224101826 + "
+        "(u - 0.5)*(u - 0.5)*3.13082909833))))"
+    )
+    return f"""
+WITH e AS (SELECT author1 AS u, author2 AS v FROM ({weighted_sql}) WHERE author1 <> author2),
+ends AS (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e),
+deg AS (SELECT node, count(*) AS d FROM ends GROUP BY node),
+ranked AS (
+  SELECT node, d,
+         row_number() OVER (PARTITION BY d ORDER BY {rank_hash}, node) - 1 AS rk
+  FROM deg
+),
+classes AS (SELECT d, count(*) AS c FROM ranked GROUP BY d),
+sd AS (SELECT sum(d) AS sum_d FROM deg),
+runs AS (SELECT unnest(range({n_runs})) AS r),
+cp AS (
+  SELECT r, a.d AS d1, b.d AS d2, a.c AS c1, b.c AS c2,
+         CASE WHEN a.d = b.d THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
+              ELSE CAST(a.c * b.c AS BIGINT) END AS n_pairs,
+         least(1.0, CAST(a.d AS DOUBLE) * CAST(b.d AS DOUBLE) / CAST(sd.sum_d AS DOUBLE)) AS p
+  FROM classes a JOIN classes b ON a.d <= b.d, sd, runs
+),
+cp2 AS (SELECT * FROM cp WHERE n_pairs > 0),
+drawn0 AS (
+  SELECT *, (CAST(({hk}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+  FROM cp2
+),
+drawn1 AS (
+  SELECT r, d1, d2, c1, c2, n_pairs, p,
+         greatest(-4.0, least(4.0, {z_num} / {z_den})) AS z,
+         CAST(n_pairs AS DOUBLE) * p AS mu,
+         ({hoff}) % greatest(n_pairs, 1) AS off
+  FROM drawn0
+),
+drawn AS (
+  SELECT r, d1, d2, c1, c2, n_pairs, off,
+         greatest(CAST(0 AS BIGINT),
+                  least(n_pairs,
+                        CAST(round(mu + z * sqrt(mu * (1.0 - p))) AS BIGINT))) AS k
+  FROM drawn1
+),
+idx AS (
+  SELECT r, d1, d2, c1, c2, n_pairs, (off + unnest(range(k))) % n_pairs AS idx
+  FROM drawn WHERE k > 0
+),
+cross_rk AS (
+  SELECT r, d1, d2,
+         idx // c2 AS rk1,
+         idx % c2 AS rk2
+  FROM idx WHERE d1 <> d2
+),
+same0 AS (
+  SELECT r, d1, d2, c1, idx,
+         CAST(floor((2.0 * c1 - 1.0 - sqrt((2.0 * c1 - 1.0) * (2.0 * c1 - 1.0)
+              - 8.0 * idx)) / 2.0) AS BIGINT) AS a0
+  FROM idx WHERE d1 = d2
+),
+same1 AS (
+  SELECT r, d1, d2, c1, idx,
+         CASE WHEN CAST((a0 + 1) * (2 * c1 - (a0 + 1) - 1) / 2 AS BIGINT) <= idx THEN a0 + 1
+              WHEN CAST(a0 * (2 * c1 - a0 - 1) / 2 AS BIGINT) > idx THEN a0 - 1
+              ELSE a0 END AS a
+  FROM same0
+),
+same_rk AS (
+  SELECT r, d1, d2, a AS rk1,
+         idx - CAST(a * (2 * c1 - a - 1) / 2 AS BIGINT) + a + 1 AS rk2
+  FROM same1
+),
+pairs_rk AS (SELECT * FROM cross_rk UNION ALL SELECT * FROM same_rk),
+sampled AS (
+  SELECT pr.r, least(n1.node, n2.node) AS i, greatest(n1.node, n2.node) AS j
+  FROM pairs_rk pr
+  JOIN ranked n1 ON n1.d = pr.d1 AND n1.rk = pr.rk1
+  JOIN ranked n2 ON n2.d = pr.d2 AND n2.rk = pr.rk2
+),
+gen_ends AS (SELECT r, i AS node FROM sampled UNION ALL SELECT r, j AS node FROM sampled),
+gen_deg AS (SELECT r, node, count(*) AS gd FROM gen_ends GROUP BY 1, 2),
+filled AS (
+  SELECT runs.r, coalesce(g.gd, 0) AS gd
+  FROM deg CROSS JOIN runs
+  LEFT JOIN gen_deg g ON g.r = runs.r AND g.node = deg.node
+),
+per_run AS (
+  SELECT r, CAST(sum(gd) / 2 AS BIGINT) AS n_edges, max(gd) AS max_degree,
+         CAST(sum(gd) AS DOUBLE) / count(*) AS mean_degree,
+         quantile_cont(gd, 0.5) AS median_degree,
+         sqrt((CAST(sum(gd * gd) AS DOUBLE)
+               - CAST(sum(gd) AS DOUBLE) * CAST(sum(gd) AS DOUBLE) / count(*))
+              / count(*)) AS std_degree
+  FROM filled GROUP BY r
+)
+SELECT count(*) AS n_runs,
+       round(avg(n_edges), 6) AS mean_n_edges,
+       round(var_samp(n_edges), 6) AS var_n_edges,
+       round(avg(max_degree), 6) AS mean_max_degree,
+       round(var_samp(max_degree), 6) AS var_max_degree,
+       round(avg(mean_degree), 6) AS mean_mean_degree,
+       round(var_samp(mean_degree), 6) AS var_mean_degree,
+       round(avg(median_degree), 6) AS mean_median_degree,
+       round(var_samp(median_degree), 6) AS var_median_degree,
+       round(avg(std_degree), 6) AS mean_std_degree,
+       round(var_samp(std_degree), 6) AS var_std_degree
+FROM per_run
+"""
 
 
 def null_model_stats_sql(weighted_sql: str, n_runs: int = 8, seed: int = 42) -> str:

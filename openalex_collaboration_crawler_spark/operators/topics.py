@@ -36,6 +36,8 @@ users load the full tables as DataFrames.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -78,6 +80,33 @@ DEFAULT_CATEGORY_MAP = {
     "Readability": "Linguistics",
     "Abstract data type": "Programming language",
 }
+
+
+#: Packaged full reference mapping tables (parquet DATA extracted from
+#: analysis/mappings.py + analysis/topic_to_category.py by
+#: tools/build_mapping_fixtures.py — ast-extracted literals, no
+#: reference code executed).
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data")
+
+FULL_MAPPING_TABLES = (
+    "delete_list",          # application_domains_to_delete (label)
+    "synonym_filter",       # topics_mapping keys (label)
+    "synonym_map",          # topics_mapping (label, category)
+    "application_domain_map",  # application_domains_mapping (label, category)
+    "topic_to_category",    # 57k-row auto-generated table (label, category)
+)
+
+
+def mapping_table_path(name: str) -> str:
+    return os.path.join(DATA_DIR, f"{name}.parquet")
+
+
+def load_full_mappings(spark: SparkSession) -> dict[str, DataFrame]:
+    """The reference's complete mapping tables as DataFrames — the
+    packaged-data counterpart of the representative DEFAULT_* subsets.
+    Keys: FULL_MAPPING_TABLES. All are broadcast-sized (≤57k rows,
+    ≤1 MB parquet)."""
+    return {name: spark.read.parquet(mapping_table_path(name)) for name in FULL_MAPPING_TABLES}
 
 
 def normalize_topic_label(col: Column | str) -> Column:
@@ -230,6 +259,45 @@ kept AS (
 mapped AS (
   SELECT k.year, coalesce(cm.category, k.label) AS category, sum(k.n) AS n
   FROM kept k LEFT JOIN cm ON k.label = cm.label
+  GROUP BY 1, 2
+),
+pcts AS (
+  SELECT year, category,
+         round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY year) * 100.0, 2) AS pct
+  FROM mapped
+)
+SELECT year, category, pct, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY year ORDER BY pct DESC, category ASC) AS rank
+  FROM pcts
+) WHERE rank <= {k}
+"""
+
+
+def topic_category_distribution_parquet_sql(
+    topics_sql: str,
+    year_col: str = "year",
+    topic_col: str = "topic",
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`topic_category_distribution` run against
+    the PACKAGED full mapping tables (read_parquet on the same files
+    ``load_full_mappings`` serves to Spark) — the full-data variant of
+    :func:`topic_category_distribution_sql`'s inline VALUES lists."""
+    dl = f"read_parquet('{mapping_table_path('delete_list')}')"
+    sy = f"read_parquet('{mapping_table_path('synonym_filter')}')"
+    cm = f"read_parquet('{mapping_table_path('topic_to_category')}')"
+    norm = normalize_topic_label_sql(topic_col)
+    return f"""
+WITH raw AS (SELECT {year_col} AS year, {norm} AS label FROM ({topics_sql})),
+counts AS (SELECT year, label, count(*) AS n FROM raw GROUP BY 1, 2),
+kept AS (
+  SELECT c.* FROM counts c
+  WHERE NOT EXISTS (SELECT 1 FROM {dl} dl WHERE dl.label = c.label)
+    AND NOT EXISTS (SELECT 1 FROM {sy} sy WHERE sy.label = c.label)
+),
+mapped AS (
+  SELECT k.year, coalesce(cm.category, k.label) AS category, sum(k.n) AS n
+  FROM kept k LEFT JOIN {cm} cm ON k.label = cm.label
   GROUP BY 1, 2
 ),
 pcts AS (

@@ -179,11 +179,13 @@ class CrawlEngine:
     # At 10^10 the threshold is crossed in the first batches and the
     # Bloom path (built lazily at the crossing) takes over.
     bloom_min_seen: int = 2_000_000
-    # above this many discovered-per-batch (from the PREVIOUS batch's
-    # committed metrics — zero extra jobs), the bloom-survivor exact
-    # check switches from broadcast joins to co-partitioned shuffle
-    # joins: a recrawl-heavy batch at 10^10 scale can push tens of
-    # millions of maybe-seen survivors, which must never be broadcast.
+    # above this bound the bloom-survivor exact check switches from
+    # broadcast joins to co-partitioned shuffle joins. The bound is
+    # THIS batch's pre-dedup outlink total (links_total), observed for
+    # free on the results write — a provable upper bound on the
+    # survivor set, so a recrawl spike engages the shuffle fallback in
+    # the spike batch itself (tens of millions of maybe-seen survivors
+    # at 10^10 scale must never be broadcast).
     survivor_broadcast_limit: int = 2_000_000
     # every K batches the seen delta is written as the COMPACTED full
     # union (table maintenance): the union read stays O(K) directories
@@ -191,8 +193,81 @@ class CrawlEngine:
     # recorded in the commit marker (seen_base); an uncommitted
     # compacted delta is simply overwritten on replay.
     compact_every: int = 8
+    # pipeline the previous batch's seen/bloom state writes (and its
+    # commit marker) into the NEXT batch's select+parse window: those
+    # writes are only read again by the next batch's DEDUP phase, so
+    # deferring them hides their wall (plus one commit round) behind
+    # the decode. Crash-safe: the commit marker is written only after
+    # the deferred writes land, so a crash mid-overlap replays the
+    # whole batch onto the same versioned paths (idempotent overwrite,
+    # deterministic content — the existing kill/resume model).
+    overlap_state_writes: bool = True
+    # AQE partition coalescing targets bytes-per-partition and emits
+    # awkward task counts (e.g. 19 tasks on 16 cores → a second wave
+    # 19% full): measured avg busy cores matched ntasks/2 exactly on
+    # the big crawl stages. The crawl's per-batch jobs keep the pinned
+    # spark.sql.shuffle.partitions width (a multiple of the executor
+    # count → full waves); AQE's join re-planning stays ON.
+    disable_partition_coalescing: bool = True
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
     _min_cap: int | None = field(default=None, repr=False)
+    _overlap: dict | None = field(default=None, repr=False)
+    _pool: object | None = field(default=None, repr=False)
+    _saved_coalesce: str | None = field(default=None, repr=False)
+
+    _COALESCE_KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+
+    def _enter_crawl_conf(self) -> None:
+        if self.disable_partition_coalescing and self._saved_coalesce is None:
+            self._saved_coalesce = self.spark.conf.get(self._COALESCE_KEY, "true")
+            self.spark.conf.set(self._COALESCE_KEY, "false")
+
+    def _exit_crawl_conf(self) -> None:
+        """Restore the session's coalescing conf — called from run()'s
+        end and close(); interleaving run_batch() with other queries on
+        the same session leaves the conf off until then (documented)."""
+        if self._saved_coalesce is not None:
+            self.spark.conf.set(self._COALESCE_KEY, self._saved_coalesce)
+            self._saved_coalesce = None
+
+    def _ensure_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=2)
+        return self._pool
+
+    def _flush_overlap(self) -> dict | None:
+        """Complete the previous batch's deferred state writes, write
+        its commit marker, release its cached frames. No-op when
+        nothing is deferred. Engines abandoned mid-defer without a
+        flush (or ``close``) simply lack the last commit marker —
+        resume replays that batch; do not run a SECOND engine on the
+        same state_dir in the same process while one holds deferred
+        writes."""
+        ov, self._overlap = self._overlap, None
+        if ov is None:
+            return None
+        for fut in ov["futures"]:
+            fut.result()  # surface write failures before committing
+        self._commit(ov["batch_id"], ov["metrics"])
+        for df in ov["release"]:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - session may be stopping
+                pass
+        import gc as _gc
+
+        _gc.collect()
+        return ov["metrics"]
+
+    def close(self) -> None:
+        """Flush deferred state, restore session conf, stop the pool."""
+        self._flush_overlap()
+        self._exit_crawl_conf()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
 
     def _politeness_min_cap(self) -> int:
         """Smallest per-host budget (politeness table ∪ default),
@@ -406,7 +481,7 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- one batch
 
-    def run_batch(self) -> dict:
+    def run_batch(self, defer_state: bool = False) -> dict:
         """Run one micro-batch; returns its metric dict.
 
         The committed ``pending_rows`` counter (prev − fetched + kept)
@@ -414,16 +489,32 @@ class CrawlEngine:
         per-batch metric is an aggregation folded into the single
         concurrent commit wave — there is no serial driver round-trip
         left in the loop (the round-trips were the measured per-batch
-        scaling floor; see BENCH/BASELINE.md §2.2)."""
+        scaling floor; see BENCH/BASELINE.md §2.2).
+
+        ``defer_state=False`` (default): durable on return — state
+        writes and the commit marker land before the call returns.
+        ``defer_state=True`` (what ``run()`` passes): the seen/bloom
+        writes + commit are deferred into the NEXT batch's parse
+        window (``overlap_state_writes``); the caller owns flushing
+        via another run_batch / run() end / accessors / close()."""
         import time as _time
 
         _debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
         _t0 = _time.time()
 
-        v = self.last_version()
-        prev = self._read_commit(v)
+        self._enter_crawl_conf()
+        if self._overlap is not None:
+            # previous batch's seen/bloom writes are still in flight —
+            # its metrics ARE the durable-to-be state; select+parse of
+            # this batch needs none of the deferred files
+            v = int(self._overlap["batch_id"])
+            prev = dict(self._overlap["metrics"])
+        else:
+            v = self.last_version()
+            prev = self._read_commit(v)
         batch_id = v + 1
         if prev.get("pending_rows") == 0:
+            self._flush_overlap()
             return {"batch": batch_id, "fetched": 0, "done": True}
         pending = self._load_pending(v)
 
@@ -524,6 +615,10 @@ class CrawlEngine:
 
         timed(j_parse_write)()
         m_parse = obs.get
+        # the previous batch's deferred seen/bloom writes ran BEHIND the
+        # parse job above; the dedup phase below reads them — flush now
+        # (completes the writes, lands the commit marker)
+        timed(self._flush_overlap)()
         n_fetched = int(m_parse["fetched"])
         parsed_ok = int(m_parse["parsed_ok"] or 0)
         text_match = int(m_parse["text_match"] or 0)
@@ -541,8 +636,18 @@ class CrawlEngine:
         # but not PENDING (they can never be fetched) — observably
         # identical to filtering at select time, and it keeps the
         # pending_rows counter exact.
+        # RAW-string dedup BEFORE canonicalization: outlinks repeat
+        # heavily within a batch (popular pages are linked from many
+        # fetched pages), and the canonicalizer is ~8 regex ops per
+        # URL — collapsing duplicates first (cheap string-equality
+        # hash-agg with map-side combine) cuts the regex work by the
+        # batch's link-duplication factor. min(depth) is associative,
+        # so raw-level min then canonical-level min is identical to
+        # canonicalizing every occurrence.
         discovered = (
             res.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
+            .groupBy("raw_url")
+            .agg(F.min("pdepth").alias("pdepth"))
             .select(
                 canonicalize_url("raw_url").alias("url"),
                 (F.col("pdepth") + 1).cast("int").alias("depth"),
@@ -672,21 +777,6 @@ class CrawlEngine:
         n_discovered = int(m_dedup["nd"])
         n_new = int(m_dedup["nn"] or 0)
         n_kept = int(m_dedup["kept"] or 0)
-        # ---- phase 3: remaining state writes fan out concurrently
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            writes = [pool.submit(timed(j)) for j in (j_seen, j_bloom)]
-            for f in writes:
-                f.result()
-
-        for df in (batch, marked):
-            df.unpersist()
-        if bloom is not None:
-            bloom.unpersist()
-        # release the per-batch checkpointed range RDD promptly (the
-        # ContextCleaner frees it once the py4j reference drops)
-        import gc as _gc
-
-        _gc.collect()
         pending_rows = (
             int(pending_prev) - n_fetched + n_kept if pending_prev is not None else None
         )
@@ -704,12 +794,28 @@ class CrawlEngine:
             "bloom_mode": bloom_mode,
             "done": pending_rows == 0,
         }
+        batch.unpersist()
+        # ---- phase 3: seen/bloom state writes. Only the NEXT batch's
+        # dedup phase reads them, so by default they are deferred into
+        # its select+parse window (see overlap_state_writes); the final
+        # batch (and overlap-off mode) completes them synchronously.
+        futures = [self._ensure_pool().submit(timed(j)) for j in (j_seen, j_bloom)]
+        release = [marked] + ([bloom] if bloom is not None else [])
+        self._overlap = {
+            "batch_id": batch_id,
+            "metrics": metrics,
+            "futures": futures,
+            "release": release,
+        }
+        # run_batch() alone is durable-on-return (kill/resume contract);
+        # only run()'s managed loop opts into cross-batch deferral
+        if not (self.overlap_state_writes and defer_state) or metrics["done"]:
+            self._flush_overlap()
         if _debug:
             print(
                 f"[batch {batch_id}] fetched={n_fetched} wall={_time.time() - _t0:.1f}s",
                 flush=True,
             )
-        self._commit(batch_id, metrics)
         return metrics
 
     def _write_partition_metrics(self, parsed: DataFrame, batch_id: int) -> None:
@@ -738,20 +844,26 @@ class CrawlEngine:
         """Crawl until the frontier drains or max_batches."""
         out = []
         for _ in range(max_batches):
-            m = self.run_batch()
+            m = self.run_batch(defer_state=True)
             out.append(m)
             if m.get("done") or m.get("fetched", 0) == 0:
                 break
+        self._flush_overlap()  # max_batches may stop mid-overlap
+        self._exit_crawl_conf()
         return out
 
     # ----------------------------------------------------------- accessors
+    # (each flushes deferred state first, so readers always see a
+    # committed, fully-written store)
 
     def results(self) -> DataFrame:
+        self._flush_overlap()
         return self.spark.read.option("basePath", os.path.join(self.state_dir, "results")).parquet(
             os.path.join(self.state_dir, "results", "batch=*")
         )
 
     def metrics_table(self) -> DataFrame:
+        self._flush_overlap()
         return self.spark.read.option("basePath", os.path.join(self.state_dir, "metrics")).parquet(
             os.path.join(self.state_dir, "metrics", "batch=*")
         )
@@ -767,6 +879,7 @@ class CrawlEngine:
         return [(r["batch_id"], r["seq"], r["url"]) for r in rows]
 
     def seen_hashes(self) -> set[int]:
+        self._flush_overlap()
         v = self.last_version()
         base = int(self._read_commit(v).get("seen_base", 0))
         return {r["url_hash"] for r in self._load_seen_union(v, base).collect()}

@@ -232,3 +232,29 @@ def test_robots_blocked_never_fetched(engine_run, spark):
     assert all(not u.startswith("http://host1.example.org/page/1") for u in fetched_urls)
     # host1's other pages (not /page/1*) are still crawlable
     assert any(u.startswith("http://host1.example.org/") for u in fetched_urls)
+
+
+def test_overlap_off_same_result(spark, world, oracle_run):
+    """Deferred state writes (overlap_state_writes, run()'s pipelined
+    mode) are a pure latency optimization — outputs, commits, and the
+    final store must be identical to the synchronous mode."""
+    eng = _mk_engine(spark, world, "engine_no_overlap", overlap_state_writes=False)
+    eng.init_from_seeds(world["seeds"])
+    eng.run(max_batches=50)
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_overlap_interrupted_run_resumes(spark, world, oracle_run):
+    """Kill a pipelined run() mid-crawl (max_batches cutoff flushes;
+    this also exercises flush-at-entry): a fresh engine resumes to the
+    oracle's exact order and seen set."""
+    eng1 = _mk_engine(spark, world, "engine_overlap_resume")
+    eng1.init_from_seeds(world["seeds"])
+    eng1.run(max_batches=2)  # stops mid-crawl, flushes deferred state
+    eng1.close()
+    eng2 = _mk_engine(spark, world, "engine_overlap_resume")
+    assert eng2.last_version() == 2  # both batches durable
+    eng2.run(max_batches=50)
+    assert eng2.crawl_order() == oracle_run.order
+    assert eng2.seen_hashes() == oracle_run.seen
