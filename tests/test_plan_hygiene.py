@@ -6,9 +6,13 @@ products or nested-loop joins. Whitelists are intentional patterns:
   the degree-class optimization is the documented scale swap).
 - broadcast nested-loop: crossJoins of ONE-ROW aggregates (totals ×
   triangle counts × assortativity sums; NMI entropy terms; the
-  percentile threshold), broadcast query/centroid tables in the ANN
-  operators, and a constant-folded literal anti-join against the
-  broadcast delete list — all have a tiny build side by construction.
+  percentile threshold; louvain's modularity invariant; the stability
+  ensemble's n_runs column), broadcast query/centroid tables in the
+  ANN operators, a constant-folded literal anti-join against the
+  broadcast delete list, and null_model_degree_class's D×D
+  degree-CLASS pair generator (d1<=d2 inequality join over the tiny
+  distinct-degree table — the documented scale swap for the n²
+  node-pair cartesian) — all have a tiny build side by construction.
 
 Anything outside the whitelist failing here means a join lost its
 equi-condition or a broadcast hint — the classic silent 100×
@@ -34,7 +38,10 @@ BNLJ_OK = {
     "structural_stats",
     "structural_stats_lcc",
     "null_model_stats",
+    "null_model_degree_class",
     "community_topics",
+    "community_stability",
+    "louvain",
 }
 
 
