@@ -343,6 +343,26 @@ class CrawlEngine:
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.rename(tmp, final)  # atomic commit point
+        self._vacuum(version, int(payload.get("seen_base", 0)))
+
+    def _vacuum(self, version: int, seen_base: int) -> None:
+        """Expire-snapshots table maintenance: drop state versions no
+        commit can reference anymore. Resume reads the LATEST commit
+        (version v → pending/v{v}, bloom/v{v}, seen b{seen_base}..b{v}),
+        so pending/bloom versions ≤ v−2 and seen deltas below the last
+        compaction point are unreachable from every surviving commit —
+        a crash at any point leaves the referenced set intact. Without
+        this, a long crawl accumulates O(batches) full pending copies
+        (Iceberg's expire_snapshots exists for the same reason)."""
+        for k in range(max(0, version - 16), version - 1):
+            for name in ("pending", "bloom"):
+                p = self._path(name, f"v{k}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+        for k in range(max(0, seen_base - 16), seen_base):
+            p = self._path("seen", f"b{k}")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
     # ------------------------------------------------------------- seeding
 

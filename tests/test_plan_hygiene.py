@@ -27,7 +27,13 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-CARTESIAN_OK = {"null_model_stats"}
+CARTESIAN_OK = {
+    "null_model_stats",
+    # D×D degree-CLASS pairs via the d1<=d2 inequality self-join over
+    # the distinct-degree table (D ≪ n; the documented scale swap for
+    # null_model_stats' n² node-pair cartesian)
+    "null_model_degree_class",
+}
 BNLJ_OK = {
     "ann_topk",
     "ann_ivf_topk",

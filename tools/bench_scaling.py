@@ -93,12 +93,38 @@ def run_at(cores: int, zpath: str, pages_path: str) -> dict:
     return d
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def os_ceiling(lo: int, hi: int, per: int = 60_000_000) -> float:
+    """Same-day OS compute ceiling: identical TOTAL pure-python work at
+    lo and hi processes. This box is a shared VM — its lo→hi scaling
+    moves day to day (measured 0.89 in round 1, 0.74–0.79 in round 3),
+    so every engine efficiency below is also reported relative to the
+    ceiling measured in the SAME session."""
+    import multiprocessing as mp
+
+    def run(workers: int, per_worker: int) -> float:
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [per_worker] * workers)
+        return time.time() - t0
+
+    run(hi, per // 4)  # warm the pool fork path
+    t_hi = run(hi, per)
+    t_lo = run(lo, per * hi // lo)
+    return round((t_lo / t_hi) * (lo / hi), 3)
+
+
 def main() -> None:
     # N=4 vs 4N=16: both levels sit inside the host's physical-core
     # budget with headroom, so the measurement reflects the engine's
-    # scaling rather than the box's shared-cache/bandwidth ceiling
-    # (OS-level 4→16 compute scaling on this host: 3.56×/4 = 0.89 —
-    # the hardware cap on any efficiency number measured here).
+    # scaling rather than the box's shared-cache/bandwidth ceiling —
+    # which os_ceiling() measures fresh for every run.
     lo, hi = int(os.environ.get("SCALE_LO", "4")), int(os.environ.get("SCALE_HI", "16"))
     zpath = build_zip()
     pages_path = ensure_pages()
@@ -116,6 +142,7 @@ def main() -> None:
     q_eff = eff(r_lo["queries_sec"], r_hi["queries_sec"])
     total_lo = r_lo["crawl_sec"] + r_lo["queries_sec"]
     total_hi = r_hi["crawl_sec"] + r_hi["queries_sec"]
+    box = os_ceiling(lo, hi)
     result = {
         "lo": r_lo,
         "hi": r_hi,
@@ -124,6 +151,12 @@ def main() -> None:
         "total_eff": eff(total_lo, total_hi),
         "crawl_urls_per_sec_lo": round(r_lo["crawl_urls"] / r_lo["crawl_sec"], 1),
         "crawl_urls_per_sec_hi": round(r_hi["crawl_urls"] / r_hi["crawl_sec"], 1),
+        # same-session pure-CPU lo→hi scaling of this shared VM — the
+        # hard cap on every efficiency above, measured fresh because it
+        # drifts day to day (0.89 r1 → ~0.76 r3)
+        "os_ceiling_eff": box,
+        "crawl_eff_vs_ceiling": round(crawl_eff / box, 3),
+        "queries_eff_vs_ceiling": round(q_eff / box, 3),
     }
     print(json.dumps(result, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
