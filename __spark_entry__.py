@@ -791,7 +791,11 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
         F.col("weight") >= 3
     )
-    mem = GS.louvain_communities(w, seed=42).select("node", "community")
+    # pin the solve: membership feeds FIVE plan branches (metrics'
+    # eager distinct-count, mem, label_ok, node_ok, tagged) and Spark
+    # does not dedupe identical FlatMapGroupsInPandas subtrees — the
+    # operator-module pinning convention (graphstats docstring)
+    mem = GS.louvain_communities(w, seed=42).select("node", "community").localCheckpoint()
     metrics = GS.community_metrics(
         w, mem, node_col="node", comm_col="community"
     ).select("modularity")

@@ -602,7 +602,15 @@ def pairwise_nmi_stats(
         F.count("*").alias("n_pairs"),
         F.round(F.avg("nmi"), 6).alias("nmi_mean"),
         F.round(
-            F.sqrt(F.avg(F.col("nmi") * F.col("nmi")) - F.avg("nmi") * F.avg("nmi")),
+            # clamp: the cancellation form can go a hair negative when
+            # all pair values are equal-but-inexact → sqrt(NaN); np.std
+            # (the reference) returns 0 there
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.avg(F.col("nmi") * F.col("nmi")) - F.avg("nmi") * F.avg("nmi"),
+                )
+            ),
             6,
         ).alias("nmi_std"),
         F.round(F.min("nmi"), 6).alias("nmi_min"),
@@ -644,12 +652,12 @@ pairs AS (
   FROM mi JOIN ha USING (ri, rj) JOIN hb USING (ri, rj)
 ),
 nr AS (SELECT count(DISTINCT run) AS n_runs FROM m)
-SELECT n_runs, count(*) AS n_pairs,
+SELECT (SELECT n_runs FROM nr) AS n_runs, count(*) AS n_pairs,
        round(avg(nmi), 6) AS nmi_mean,
-       round(sqrt(avg(nmi * nmi) - avg(nmi) * avg(nmi)), 6) AS nmi_std,
+       round(sqrt(greatest(0.0, avg(nmi * nmi) - avg(nmi) * avg(nmi))), 6) AS nmi_std,
        round(min(nmi), 6) AS nmi_min,
        round(max(nmi), 6) AS nmi_max
-FROM pairs, nr GROUP BY n_runs
+FROM pairs
 """
 
 

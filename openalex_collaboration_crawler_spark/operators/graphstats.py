@@ -1024,9 +1024,10 @@ def _degree_class_candidates(
             "d2",
             "c1",
             "c2",
+            # shiftright = exact integer halving, matching DuckDB's `//`
             F.when(
                 F.col("d1") == F.col("d2"),
-                (F.col("c1") * (F.col("c1") - 1) / 2).cast("long"),
+                F.shiftright((F.col("c1") * (F.col("c1") - 1)).cast("long"), 1),
             )
             .otherwise((F.col("c1") * F.col("c2")).cast("long"))
             .alias("n_pairs"),
@@ -1127,7 +1128,9 @@ def _degree_class_candidates(
     ).cast("long")
 
     def tri_off(acol):
-        return (acol * (2 * F.col("c1") - acol - 1) / 2).cast("long")
+        # shiftright = exact integer halving of the (even, nonneg) long
+        # product — no double division, exact past 2^53, == DuckDB `//`
+        return F.shiftright((acol * (2 * F.col("c1") - acol - 1)).cast("long"), 1)
 
     same0 = idx.where(F.col("d1") == F.col("d2")).select(
         "r", "d1", "d2", "c1", "idx", a_raw.alias("a0")
@@ -1306,14 +1309,14 @@ same0 AS (
 ),
 same1 AS (
   SELECT r, d1, d2, c1, idx,
-         CASE WHEN CAST((a0 + 1) * (2 * c1 - (a0 + 1) - 1) / 2 AS BIGINT) <= idx THEN a0 + 1
-              WHEN CAST(a0 * (2 * c1 - a0 - 1) / 2 AS BIGINT) > idx THEN a0 - 1
+         CASE WHEN ((a0 + 1) * (2 * c1 - (a0 + 1) - 1)) // 2 <= idx THEN a0 + 1
+              WHEN (a0 * (2 * c1 - a0 - 1)) // 2 > idx THEN a0 - 1
               ELSE a0 END AS a
   FROM same0
 ),
 same_rk AS (
   SELECT r, d1, d2, a AS rk1,
-         idx - CAST(a * (2 * c1 - a - 1) / 2 AS BIGINT) + a + 1 AS rk2
+         idx - (a * (2 * c1 - a - 1)) // 2 + a + 1 AS rk2
   FROM same1
 ),
 pairs_rk AS (SELECT * FROM cross_rk UNION ALL SELECT * FROM same_rk),

@@ -181,12 +181,17 @@ class CrawlEngine:
     bloom_min_seen: int = 2_000_000
     # above this bound the bloom-survivor exact check switches from
     # broadcast joins to co-partitioned shuffle joins. The bound is
-    # THIS batch's pre-dedup outlink total (links_total), observed for
-    # free on the results write — a provable upper bound on the
-    # survivor set, so a recrawl spike engages the shuffle fallback in
-    # the spike batch itself (tens of millions of maybe-seen survivors
-    # at 10^10 scale must never be broadcast).
-    survivor_broadcast_limit: int = 2_000_000
+    # THIS batch's PRE-dedup outlink total (links_total), observed for
+    # free on the results write — a provable (hence conservative) upper
+    # bound on the survivor set, so a recrawl spike engages the shuffle
+    # fallback in the spike batch itself. Because links_total
+    # over-counts the true survivor set by the batch's link-duplication
+    # factor (typically ~10-20×), the default is sized for the
+    # pre-dedup metric: 16M raw links ≈ ≲2M distinct survivors ≈ a
+    # ~16 MB hash-key broadcast — ordinary high-duplication batches
+    # stay on the broadcast path, while tens of millions of maybe-seen
+    # survivors at 10^10 scale still must never be broadcast.
+    survivor_broadcast_limit: int = 16_000_000
     # every K batches the seen delta is written as the COMPACTED full
     # union (table maintenance): the union read stays O(K) directories
     # instead of one per batch. Crash-safe: the compaction point is
@@ -470,9 +475,17 @@ class CrawlEngine:
             except (OSError, ValueError):
                 fresh = False
         if not fresh:
-            tmp = path + ".tmp"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
+            # UNIQUE temp dir per builder: two engines racing on the
+            # same pages_path each build privately; the loser of the
+            # publish rename just discards its build (the winner's
+            # content is identical — same deterministic derivation)
+            import tempfile as _tempfile
+
+            tmp = _tempfile.mkdtemp(
+                prefix=os.path.basename(path) + ".build-",
+                dir=os.path.dirname(path) or ".",
+            )
+            os.rmdir(tmp)  # Spark's writer wants to create it itself
             raw = self.spark.read.parquet(self.pages_path)
             keyed = raw.select(
                 canonicalize_url("url").alias("canonical_url"),
@@ -495,7 +508,14 @@ class CrawlEngine:
                 json.dump(fp, f)
             if os.path.isdir(path):
                 shutil.rmtree(path)
-            os.rename(tmp, path)  # atomic publish
+            try:
+                os.rename(tmp, path)  # atomic publish
+            except OSError:
+                # a concurrent builder published first; its content is
+                # byte-identical (deterministic derivation) — keep it
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(path):
+                    raise
         self._pages_prepared = self.spark.read.parquet(path)
         return self._pages_prepared
 
@@ -863,13 +883,19 @@ class CrawlEngine:
     def run(self, max_batches: int = 1000) -> list[dict]:
         """Crawl until the frontier drains or max_batches."""
         out = []
-        for _ in range(max_batches):
-            m = self.run_batch(defer_state=True)
-            out.append(m)
-            if m.get("done") or m.get("fetched", 0) == 0:
-                break
-        self._flush_overlap()  # max_batches may stop mid-overlap
-        self._exit_crawl_conf()
+        try:
+            for _ in range(max_batches):
+                m = self.run_batch(defer_state=True)
+                out.append(m)
+                if m.get("done") or m.get("fetched", 0) == 0:
+                    break
+        finally:
+            # a failed batch must not leave deferred writes dangling or
+            # the session's coalescing conf flipped for other queries
+            try:
+                self._flush_overlap()  # max_batches may stop mid-overlap
+            finally:
+                self._exit_crawl_conf()
         return out
 
     # ----------------------------------------------------------- accessors

@@ -105,14 +105,45 @@ def test_metrics_parity(engine_run, oracle_run):
 
 
 def test_text_byte_identity(engine_run, spark, world):
-    """input_hint invariant: extracted text byte-identical per url."""
+    """input_hint invariant: extracted text byte-identical per url.
+
+    Two layers: (a) the engine's own per-row text_match metric (an
+    md5 comparison against the prepared table's text_md5 — the hot
+    path never ships the golden body); (b) a TRUE byte-identity check
+    done here with a JVM-side join against the golden text itself, so
+    a bug in the md5 plumbing (wrong column, wrong encoding, trivially
+    true flag) cannot hide behind layer (a)."""
+    from pyspark.sql import functions as F
+
     eng, metrics = engine_run
     res = eng.results()
     n = res.count()
     n_match = res.where("text_match").count()
     n_found = res.where("parse_ok").count()
-    assert n_found == n_match  # every parsed page matched its golden bytes
+    assert n_found == n_match  # every parsed page matched its golden md5
     assert n > 0
+
+    # layer (b): independent golden join — raw pages table, canonical
+    # dedup re-derived here, text compared as BYTES, not hashes
+    from openalex_collaboration_crawler_spark.functions.url import canonicalize_url
+    from pyspark.sql.window import Window
+
+    raw = spark.read.parquet(world["pages_path"]).select(
+        canonicalize_url("url").alias("curl"), "warc_ts", "html", F.col("text").alias("golden")
+    )
+    w = Window.partitionBy("curl").orderBy("warc_ts", "html")
+    golden = (
+        raw.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+        .select("curl", "golden")
+    )
+    joined = res.where("parse_ok").join(golden, res.url == F.col("curl"), "left")
+    n_joined = joined.count()
+    n_byte_equal = joined.where(
+        F.col("golden").isNotNull()
+        & (F.col("text").cast("binary") == F.col("golden").cast("binary"))
+    ).count()
+    assert n_joined == n_found
+    assert n_byte_equal == n_found  # TRUE byte identity for every parsed row
 
 
 def test_resume_equals_uninterrupted(spark, world, engine_run, oracle_run):
