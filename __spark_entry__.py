@@ -21,6 +21,7 @@ from openalex_collaboration_crawler_spark.operators import dedup as DD
 from openalex_collaboration_crawler_spark.operators import edges as ED
 from openalex_collaboration_crawler_spark.operators import graphstats as GS
 from openalex_collaboration_crawler_spark.operators import papers as PP
+from openalex_collaboration_crawler_spark.operators import sampling as _SAMPLING
 from openalex_collaboration_crawler_spark.operators import similarity as SIM
 from openalex_collaboration_crawler_spark.operators import topics as TP
 from openalex_collaboration_crawler_spark.operators.authors import (
@@ -173,6 +174,32 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return DD.exact_dup_groups(docs.unionByName(planted))
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rate sampling over documents — the
+    training-data curation op (downweight the dominant language).
+    Membership is a pure function of (doc_id, salt): rerun-, engine-
+    and partitioning-independent; zero shuffle."""
+    from openalex_collaboration_crawler_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SP.stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 0.5, "de": 0.9, "fr": 0.25}, default_rate=0.1
+    )
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split of documents via disjoint
+    hash-bucket ranges; the query emits per-split counts + a key
+    checksum so the gate verifies both sizes AND membership."""
+    from openalex_collaboration_crawler_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    split = SP.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("key_sum")
+    )
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_overlap": _q_community_overlap,
         "sessionize": _q_sessionize,
         "dedup_exact": _q_dedup_exact,
+        "stratified_sample": _q_stratified_sample,
+        "hash_split": _q_hash_split,
         "text_stats": _q_text_stats,
         "minhash_candidates": _q_minhash_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1127,6 +1156,19 @@ GROUP BY 1
                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
                 WHERE doc_id % 10 = 0)"""
         ),
+        "stratified_sample": _SAMPLING.stratified_sample_sql(
+            "SELECT doc_id, lang FROM documents",
+            "doc_id",
+            "lang",
+            rates={"en": 0.5, "de": 0.9, "fr": 0.25},
+            default_rate=0.1,
+        ),
+        "hash_split": f"""
+SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
+FROM ({_SAMPLING.hash_split_sql("SELECT doc_id FROM documents", "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1})})
+GROUP BY split
+""",
         "text_stats": f"""
 SELECT doc_id,
   {TX.token_count_sql('text')} AS n_tok,
