@@ -38,6 +38,7 @@ def pairwise_edges(
     work_col: str = "work_id",
     author_col: str = "author",
     year_col: str = "year",
+    small_work_cap: int = 256,
 ) -> DataFrame:
     """(work, author, year) → edge rows (year, work_id, a1, a2).
 
@@ -45,26 +46,49 @@ def pairwise_edges(
     its input-array order; for a relational source we use the column's
     natural order, which the oracle reproduces). A single-author work
     yields one self-loop row (a, a) — reference graph.cpp:496-499.
-    """
-    a = authorships.select(
-        F.col(work_col).alias("work_id"),
-        F.col(author_col).alias("a1"),
-        F.col(year_col).alias("year"),
-    )
-    b = authorships.select(
-        F.col(work_col).alias("work_id"), F.col(author_col).alias("a2")
-    )
-    pairs = a.join(b, on="work_id").where(F.col("a1") < F.col("a2"))
+    Duplicate authorship rows multiply pairs exactly like the
+    reference's nested loop (and the oracle's self-join).
 
-    solo = (
-        authorships.groupBy(F.col(work_col).alias("work_id"), F.col(year_col).alias("year"))
-        .agg(F.count("*").alias("n"), F.min(author_col).alias("a"))
-        .where(F.col("n") == 1)
-        .select("work_id", F.col("a").alias("a1"), F.col("a").alias("a2"), "year")
+    Physical shape — hybrid on author-list size, ONE shuffle for the
+    common case: authorships group to per-work author arrays (one
+    hash-agg with map-side combine — replaces the former plan's
+    self-join, which shuffled the table twice, plus a third shuffle
+    for solos), and pairs generate array-side inside codegen. Works
+    above ``small_work_cap`` authors (the CERN-paper tail: k authors →
+    k² pairs would materialize as one giant in-memory array before
+    explode) are exploded back to rows and routed through the
+    skew-tolerant self-join — rare by construction, tiny input."""
+    grouped = authorships.groupBy(
+        F.col(work_col).alias("work_id"), F.col(year_col).alias("year")
+    ).agg(F.collect_list(F.col(author_col)).alias("__as"))
+
+    # solos (size 1) always take the array path — the join fallback
+    # generates strict a1<a2 pairs and would drop the self-loop row
+    cap = max(small_work_cap, 1)
+    small = grouped.where(F.size("__as") <= cap)
+    pair_expr = F.when(
+        F.size("__as") == 1,
+        F.array(F.struct(F.element_at("__as", 1).alias("a1"), F.element_at("__as", 1).alias("a2"))),
+    ).otherwise(
+        F.expr(
+            "flatten(transform(__as, x -> "
+            "transform(filter(__as, y -> x < y), y -> struct(x AS a1, y AS a2))))"
+        )
     )
-    return pairs.select("year", "work_id", "a1", "a2").unionByName(
-        solo.select("year", "work_id", "a1", "a2")
+    small_pairs = small.select(
+        "year", "work_id", F.explode(pair_expr).alias("__p")
+    ).select("year", "work_id", F.col("__p.a1").alias("a1"), F.col("__p.a2").alias("a2"))
+
+    big = grouped.where(F.size("__as") > cap)
+    big_rows = big.select("year", "work_id", F.explode("__as").alias("author"))
+    ba = big_rows.select("work_id", "year", F.col("author").alias("a1"))
+    bb = big_rows.select(F.col("work_id").alias("__w"), F.col("author").alias("a2"))
+    big_pairs = (
+        ba.join(bb, ba.work_id == F.col("__w"))
+        .where(F.col("a1") < F.col("a2"))
+        .select("year", "work_id", "a1", "a2")
     )
+    return small_pairs.unionByName(big_pairs)
 
 
 PAIRWISE_EDGES_SQL_TEMPLATE = """
