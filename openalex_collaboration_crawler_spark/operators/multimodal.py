@@ -44,24 +44,125 @@ def _fake_decode(kind: str, blob: bytes) -> np.ndarray:
     return arr / 255.0
 
 
-MEDIA_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+# The deterministic synthetic decoders: ALWAYS available, used by the
+# driver-gate `media_features` query explicitly (its DuckDB oracle
+# mirrors the sha256 math), regardless of what autodetection wires
+# into MEDIA_DECODERS on a machine that has real codec libraries.
+SYNTHETIC_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image": lambda b: _fake_decode("image", b),
     "audio": lambda b: _fake_decode("audio", b),
     "video_frame": lambda b: _fake_decode("video_frame", b),
 }
+
+MEDIA_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = dict(SYNTHETIC_DECODERS)
+
+# kinds whose default decoder was upgraded to a real codec at import
+# (empty in this container — no PIL/ffmpeg; see autodetect_codecs)
+AVAILABLE_CODECS: dict[str, str] = {}
 
 
 def register_decoder(kind: str, fn: Callable[[bytes], np.ndarray]) -> None:
     MEDIA_DECODERS[kind] = fn
 
 
-def real_image_decode(blob: bytes) -> np.ndarray:  # pragma: no cover
-    """The production decoder slot. Raises until a real image library
-    is installed and registered (deliberate stub per the task brief)."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv — not available in this "
-        "container; register a decoder with register_decoder('image', fn)"
+def real_image_decode(blob: bytes) -> np.ndarray:
+    """The production image decoder: PIL decode → grayscale → 4×4
+    resize → 16-dim float feature in [0, 1] (same shape/range contract
+    as the synthetic decoder, so the Spark plumbing is identical).
+    Raises NotImplementedError when no image library is installed
+    (this container — deliberate stub per the task brief)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv — not available in this "
+            "container; register a decoder with register_decoder('image', fn)"
+        ) from exc
+    import io  # noqa: PLC0415
+
+    img = Image.open(io.BytesIO(blob)).convert("L").resize((4, 4))
+    return np.asarray(img, dtype=np.float32).reshape(16) / 255.0
+
+
+def _ffmpeg_bin() -> str | None:
+    import shutil as _sh  # noqa: PLC0415
+
+    return _sh.which("ffmpeg")
+
+
+def real_audio_decode(blob: bytes) -> np.ndarray:
+    """Production audio decoder: ffmpeg → mono 8 kHz s16 PCM → 16
+    RMS-energy bins in [0, 1]. Raises when ffmpeg is absent."""
+    ff = _ffmpeg_bin()
+    if ff is None:  # pragma: no cover - container has no ffmpeg
+        raise NotImplementedError(
+            "audio decoding requires ffmpeg — not available in this "
+            "container; register a decoder with register_decoder('audio', fn)"
+        )
+    import subprocess  # noqa: PLC0415
+
+    out = subprocess.run(
+        [ff, "-v", "error", "-i", "pipe:0", "-f", "s16le", "-ac", "1",
+         "-ar", "8000", "pipe:1"],
+        input=blob, capture_output=True, check=True,
+    ).stdout
+    pcm = np.frombuffer(out, dtype=np.int16).astype(np.float32) / 32768.0
+    if pcm.size == 0:
+        return np.zeros(16, dtype=np.float32)
+    bins = np.array_split(pcm, 16)
+    return np.array(
+        [float(np.sqrt(np.mean(b * b))) if b.size else 0.0 for b in bins],
+        dtype=np.float32,
     )
+
+
+def real_video_frame_decode(blob: bytes) -> np.ndarray:
+    """Production video decoder: ffmpeg first frame → gray 4×4 raw →
+    16-dim float feature. Raises when ffmpeg is absent."""
+    ff = _ffmpeg_bin()
+    if ff is None:  # pragma: no cover - container has no ffmpeg
+        raise NotImplementedError(
+            "video decoding requires ffmpeg — not available in this "
+            "container; register a decoder with "
+            "register_decoder('video_frame', fn)"
+        )
+    import subprocess  # noqa: PLC0415
+
+    out = subprocess.run(
+        [ff, "-v", "error", "-i", "pipe:0", "-frames:v", "1", "-f", "rawvideo",
+         "-pix_fmt", "gray", "-s", "4x4", "pipe:1"],
+        input=blob, capture_output=True, check=True,
+    ).stdout
+    arr = np.frombuffer(out[:16], dtype=np.uint8).astype(np.float32)
+    if arr.size < 16:  # pragma: no cover - corrupt stream
+        arr = np.pad(arr, (0, 16 - arr.size))
+    return arr / 255.0
+
+
+def autodetect_codecs() -> dict[str, str]:
+    """Detect optional codec libraries and wire the real decoders into
+    ``MEDIA_DECODERS`` (VERDICT r3 next #8). Called once at import;
+    idempotent, safe to re-call after installing a library. Kinds with
+    no detected codec keep the declared synthetic stub. The driver
+    gate is unaffected either way: `media_features` passes
+    ``SYNTHETIC_DECODERS`` explicitly so its DuckDB oracle stays exact
+    even on machines where detection succeeds."""
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        register_decoder("image", real_image_decode)
+        AVAILABLE_CODECS["image"] = "PIL"
+    except ImportError:
+        pass
+    if _ffmpeg_bin() is not None:  # pragma: no cover - no ffmpeg here
+        register_decoder("audio", real_audio_decode)
+        register_decoder("video_frame", real_video_frame_decode)
+        AVAILABLE_CODECS["audio"] = "ffmpeg"
+        AVAILABLE_CODECS["video_frame"] = "ffmpeg"
+    return dict(AVAILABLE_CODECS)
+
+
+autodetect_codecs()
 
 
 def media_metadata(media: DataFrame, id_col: str = "media_id", kind_col: str = "kind", blob_col: str = "blob") -> DataFrame:
@@ -95,11 +196,20 @@ def extract_features(
     kind_col: str = "kind",
     blob_col: str = "blob",
     batch_rows: int = 256,
+    decoders: dict[str, Callable[[bytes], np.ndarray]] | None = None,
 ) -> DataFrame:
     """blob → feature vector via the registered decoder for its kind.
 
     ``batch_rows`` caps rows per yielded Arrow frame so a partition of
-    large blobs never materializes as one giant batch."""
+    large blobs never materializes as one giant batch. ``decoders``
+    pins an explicit decoder table (the driver gate passes
+    ``SYNTHETIC_DECODERS`` so its exact oracle survives codec
+    autodetection); None snapshots the module-level ``MEDIA_DECODERS``
+    AT PLAN-BUILD TIME on the driver — so driver-side
+    ``register_decoder`` calls reach executors via the serialized
+    closure (executors are separate Python processes; resolving the
+    module global there would silently ignore driver registrations)."""
+    table = dict(decoders if decoders is not None else MEDIA_DECODERS)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -109,7 +219,7 @@ def extract_features(
                 for mid, kind, blob in zip(chunk[id_col], chunk[kind_col], chunk[blob_col]):
                     ids.append(int(mid))
                     kinds.append(kind)
-                    decoder = MEDIA_DECODERS.get(kind)
+                    decoder = table.get(kind)
                     if decoder is None or blob is None:
                         vecs.append(None)
                         oks.append(False)
