@@ -86,6 +86,19 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
 
+    # Warm the session before timing (r4): the first Spark action pays
+    # ~8-10 s of one-time JVM/python-worker/codegen warm-up that used
+    # to land entirely on whichever query ran first (pairwise_edges),
+    # drowning the signal the bench exists to measure. A trivial noop
+    # write + one parquet count isolate query cost from session cost;
+    # queries still run cold w.r.t. THEIR OWN scans and shuffles.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from openalex_collaboration_crawler_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "region").count()
+
     queries = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:

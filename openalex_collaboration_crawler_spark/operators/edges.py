@@ -49,6 +49,22 @@ def pairwise_edges(
     Duplicate authorship rows multiply pairs exactly like the
     reference's nested loop (and the oracle's self-join).
 
+    ASSUMES year is functionally dependent on work_id (one year per
+    work — true of OpenAlex works and of the oracle model); the group
+    is on work_id ALONE with ``min(year)`` carried as an aggregate, so
+    an input violating the dependency collapses to the min year here
+    while the row-level SQL oracle fans pairs out per year variant —
+    the gate diverges loudly instead of silently fragmenting author
+    lists per year (round-3 ADVICE). Grouping on the bare key also
+    lets Catalyst reuse any existing hash(work_id) partitioning from
+    the upstream join instead of re-shuffling on the composite key —
+    same-session warm medians at sf0.1 (tools/ab_pairwise.py, r4,
+    5 reps, identical output hashes): r2 self-join 1.139 s, r3
+    (work_id, year) hybrid 0.911 s, THIS work_id-only hybrid 0.797 s
+    (-30% vs r2, -13% vs r3). The r3 driver-bench "regression" was
+    session warm-up landing on the first-positioned query, not the
+    hybrid (bench.py now warms the session before timing).
+
     Physical shape — hybrid on author-list size, ONE shuffle for the
     common case: authorships group to per-work author arrays (one
     hash-agg with map-side combine — replaces the former plan's
@@ -58,9 +74,10 @@ def pairwise_edges(
     k² pairs would materialize as one giant in-memory array before
     explode) are exploded back to rows and routed through the
     skew-tolerant self-join — rare by construction, tiny input."""
-    grouped = authorships.groupBy(
-        F.col(work_col).alias("work_id"), F.col(year_col).alias("year")
-    ).agg(F.collect_list(F.col(author_col)).alias("__as"))
+    grouped = authorships.groupBy(F.col(work_col).alias("work_id")).agg(
+        F.collect_list(F.col(author_col)).alias("__as"),
+        F.min(F.col(year_col)).alias("year"),
+    )
 
     # solos (size 1) always take the array path — the join fallback
     # generates strict a1<a2 pairs and would drop the self-loop row

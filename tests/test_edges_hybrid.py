@@ -43,3 +43,22 @@ def test_hybrid_cap_invariance(spark):
     assert (1991, 1, 100, 100) in all_array            # solo work
     assert all(a1 <= a2 for (_, _, a1, a2) in all_array)
     assert all_array[(1992, 2, 100, 101)] == 2         # dup author ×2
+
+
+def test_year_functional_dependency_collapses_to_min(spark):
+    """pairwise_edges groups by work_id ALONE and carries min(year)
+    (r4: reuses upstream hash(work_id) partitioning — same-session
+    warm medians at sf0.1, tools/ab_pairwise.py, 5 reps: r2 self-join
+    1.139s, r3 (work_id,year) hybrid 0.911s, r4 work_id-only hybrid
+    0.797s, sorted-prefix generator 1.008s; all-variant output hashes
+    identical on 1,205,033 rows). A work violating the documented one-year-per-work
+    dependency collapses to ONE author list at min(year) instead of
+    silently fragmenting per year — and diverges loudly from the
+    row-level SQL oracle, which is the intended failure mode."""
+    au = spark.createDataFrame(
+        [(1, 10, 2000), (1, 11, 2001)], "work_id long, author long, year long"
+    )
+    out = pairwise_edges(au).collect()
+    assert [(r["year"], r["work_id"], r["a1"], r["a2"]) for r in out] == [
+        (2000, 1, 10, 11)
+    ]
