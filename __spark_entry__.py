@@ -9,6 +9,7 @@ training-data ops); each takes (spark, sf_dir) → DataFrame.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -562,6 +563,44 @@ def _q_politeness_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_order_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule ordering contract on the driver's HARD signal (r4,
+    VERDICT r3 next #6; was pytest-only). Runs the REAL distributed
+    CrawlEngine end-to-end over the fixed deterministic GATE_WORLD
+    (sources/pages.py: 120 synthetic pages, 4 seeds, per-host
+    politeness caps with a binding 3/batch hot-host cap, robots
+    blocks) in a fresh temp state dir, and returns the COMPLETE crawl
+    order as (batch_id, seq, url_hash). The oracle is a golden
+    fixture computed by the trusted sequential Python executor
+    (tests/oracle/crawler_oracle.OracleCrawler via
+    tools/build_crawl_golden.py) — same pattern as the louvain golden.
+    Any divergence in BFS batch assignment, politeness capping,
+    within-batch (depth, priority, url_hash, url) ordering, or
+    first-seen dedup hash-mismatches the gate. Reference parity:
+    /root/reference/crawler/src/main.cpp work-queue loop +
+    frontier ordering."""
+    import tempfile
+
+    from openalex_collaboration_crawler_spark.sources.pages import (
+        GATE_WORLD,
+        build_gate_world,
+        build_seeds,
+    )
+    from openalex_collaboration_crawler_spark.streaming.frontier import CrawlEngine
+
+    root = tempfile.mkdtemp(prefix="crawl_order_gate_")
+    eng = CrawlEngine(spark=spark, bloom_parts=4, **build_gate_world(spark, root))
+    eng.init_from_seeds(
+        build_seeds(spark, n_pages=GATE_WORLD["n_pages"], n_seeds=GATE_WORLD["n_seeds"])
+    )
+    eng.run(max_batches=GATE_WORLD["max_batches"])
+    return eng.results().select(
+        F.col("batch_id").cast("int").alias("batch_id"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("url_hash").cast("long").alias("url_hash"),
+    )
+
+
 _POLITENESS_SQL = f"""
 WITH pending AS (
   SELECT {URL.canonicalize_url_sql("url")} AS url,
@@ -616,12 +655,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     - frames_sig: hash over the 4 sampled frame payloads in frame
       order; n_frames the flatMap fan-out"""
     from openalex_collaboration_crawler_spark.operators.multimodal import (
+        SYNTHETIC_DECODERS,
         resize_images,
         sample_video_frames,
     )
 
     media = build_synthetic_media(spark, n=64)
-    feats = extract_features(media).select(
+    # decoders pinned: autodetected real codecs (PIL/ffmpeg, r4) must
+    # not silently replace the sha256 math this oracle mirrors
+    feats = extract_features(media, decoders=SYNTHETIC_DECODERS).select(
         "media_id",
         "kind",
         "decode_ok",
@@ -804,17 +846,23 @@ def _q_topk_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain over the significant-edge backbone (reference 05 stage);
-    no SQL oracle (iterative algorithm), but the gate is NOT rows-only
-    in spirit: every returned membership row is inner-joined against
-    partition-validity and quality invariants computed in-plan —
-    (a) community label == min member node id, (b) exactly one
+    """Louvain over the significant-edge backbone (reference 05 stage).
+
+    r4: full rows+schema+hash oracle. The solve is deterministic
+    (seed=42, LCG shuffle), so the sf0.01 membership is precomputed
+    ONCE offline (tools/build_louvain_golden.py: DuckDB evaluates the
+    backbone-edge SQL, the pure-python solver — trusted by
+    tests/test_communities.py — labels it) and shipped as a packaged
+    parquet fixture; oracle_sql() reads it back via read_parquet().
+    The gate therefore compares Spark's distributed applyInPandas
+    solve against an offline solve over independently-derived edges.
+
+    The in-plan invariants stay as filters (defense in depth at any
+    sf): (a) community label == min member node id, (b) exactly one
     community per node, (c) weighted modularity of the partition > 0
-    (a labeled-at-random partition has modularity ≈ 0, so a broken
-    solve empties the result and the driver's row-count check fails).
-    Output: (node, community, modularity) — modularity constant across
-    rows, computed by the oracle-green community_metrics operator.
-    Determinism pinned by seed=42 in tests/test_communities.py."""
+    (computed by the oracle-green community_metrics operator — a
+    broken solve empties the result and the row-count check fails).
+    Output: (node, community)."""
     w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
         F.col("weight") >= 3
     )
@@ -841,7 +889,7 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mem.join(label_ok, "community", "left_semi")
         .join(node_ok, "node", "left_semi")
-        .crossJoin(metrics.where(F.col("modularity") > 0))
+        .join(metrics.where(F.col("modularity") > 0), F.lit(True), "left_semi")
     )
 
 
@@ -1103,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "transitivity": _q_transitivity,
         "politeness_batch": _q_politeness_batch,
+        "crawl_order_prefix": _q_crawl_order_prefix,
         "events_hourly": _q_events_hourly,
         "media_features": _q_media_features,
         "community_metrics": _q_community_metrics,
@@ -1217,6 +1266,15 @@ GROUP BY 1, 2
             edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 2"
         ),
         "politeness_batch": _POLITENESS_SQL,
+        # crawl_order_prefix: golden fixture computed by the trusted
+        # sequential executor (tools/build_crawl_golden.py) over the
+        # same fixed GATE_WORLD — a full rows+schema+hash gate on the
+        # distributed engine's crawl order (r4; was pytest-only)
+        "crawl_order_prefix": (
+            "SELECT batch_id, seq, url_hash FROM read_parquet('"
+            + os.path.join(TP.DATA_DIR, "crawl_order_golden.parquet")
+            + "')"
+        ),
         "events_hourly": _EVENTS_HOURLY_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "community_metrics": GS.community_metrics_sql(_WEIGHTED_SQL, _NATION_MEMBERSHIP_SQL),
@@ -1230,7 +1288,16 @@ GROUP BY 1, 2
             "topic",
             k=3,
         ),
-        # louvain: no SQL oracle (iterative community detection) — rows-only
+        # louvain: the solve is seed-pinned deterministic, so the
+        # oracle is the GOLDEN MEMBERSHIP fixture precomputed offline
+        # by tools/build_louvain_golden.py (DuckDB-evaluated backbone
+        # edges + the pure-python solver) — a full rows+schema+hash
+        # gate on the distributed solve (r4; was rows-only)
+        "louvain": (
+            "SELECT node, community FROM read_parquet('"
+            + os.path.join(TP.DATA_DIR, "louvain_golden_sf001.parquet")
+            + "')"
+        ),
         "work_metadata": _WORK_METADATA_SQL,
         "connected_components_lsss": _CC_SQL_TEMPLATE.format(
             edges=f"SELECT * FROM ({_WEIGHTED_SQL}) WHERE weight >= 3"

@@ -377,7 +377,7 @@ def louvain_communities(
     a: str = "author1",
     b: str = "author2",
     w: str = "weight",
-    graph_col: str | None = None,
+    graph_col: str | None = "auto",
     max_edges_per_group: int = LOUVAIN_MAX_EDGES_PER_GROUP,
 ) -> DataFrame:
     """Louvain community detection (reference 05_community_extraction.
@@ -390,11 +390,14 @@ def louvain_communities(
     graphs (per interval) parallelize across the cluster. Output:
     (graph, node, community) with community = min member node id.
 
-    Grouping: if ``graph_col`` is None, the first match from
-    ``LOUVAIN_DEFAULT_GRAPH_COLS`` present in the input is used, so a
+    Grouping: the auto-detection is gated behind the EXPLICIT
+    ``graph_col="auto"`` sentinel (the default, visible in the
+    signature — round-3 ADVICE): "auto" uses the first match from
+    ``LOUVAIN_DEFAULT_GRAPH_COLS`` present in the input, so a
     per-interval edge table parallelizes by default instead of landing
-    in one task. A graph-less input runs as a single group — the
-    survey-blessed per-backbone strategy — guarded by
+    in one task; ``graph_col=None`` is ALWAYS one global solve, no
+    matter which columns the frame happens to carry (the pre-r3
+    contract for explicit callers). A single-group run is guarded by
     ``max_edges_per_group`` (the solve raises rather than letting a
     full-scale edge list crawl inside one task).
 
@@ -405,7 +408,7 @@ def louvain_communities(
     (its stability study runs unseeded, 06:71)."""
     import pandas as pd
 
-    if graph_col is None:
+    if graph_col == "auto":
         graph_col = next(
             (c for c in LOUVAIN_DEFAULT_GRAPH_COLS if c in weighted.columns), None
         )
@@ -881,6 +884,7 @@ def null_model_stats(
     seed: int = 42,
     a: str = "author1",
     b: str = "author2",
+    max_exact_nodes: int | None = 100_000,
 ) -> DataFrame:
     """A13 — expected-degree (Chung-Lu) null-model ensemble
     (/root/reference/analysis/08_graphs_property_validation.py:104-135:
@@ -894,12 +898,17 @@ def null_model_stats(
     differ across engines; a portable hash does not).
 
     The candidate set here is the full i<j cross join — right for the
-    reference's use (validating BACKBONE graphs, ≤10^4 nodes). At
-    10^8+ nodes the standard swap is degree-class grouping: nodes
-    with equal degree are exchangeable, so sample per degree-class
-    pair (D² classes, D = #distinct degrees ≪ n) and assign to nodes
-    by hash order. Variance uses ddof=1 (pandas ``DataFrame.var``,
-    ref 08:122)."""
+    reference's use (validating BACKBONE graphs, ≤10^4 nodes). Above
+    ``max_exact_nodes`` distinct nodes the call DISPATCHES to
+    :func:`null_model_stats_degree_class` (r4, VERDICT r3 #4: the
+    composition-safe default — a caller feeding a full-scale graph
+    must not silently get the O(n²·runs) pair generator). The switch
+    costs one count of the already-pinned degree table; pass
+    ``max_exact_nodes=None`` to force the exact path. The two paths
+    agree in distribution, not row-for-row (different documented
+    sampling procedure), so the switch point is also a semantics
+    boundary — both paths keep their own exact DuckDB oracles.
+    Variance uses ddof=1 (pandas ``DataFrame.var``, ref 08:122)."""
     from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
 
     e = weighted.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
@@ -909,6 +918,10 @@ def null_model_stats(
     # pinned: the degree table feeds the pair generator, the node list
     # and the per-run fill — one materialization, not three subplans
     deg = ends.groupBy("node").agg(F.count("*").alias("d")).localCheckpoint()
+    if max_exact_nodes is not None and deg.count() > max_exact_nodes:
+        return null_model_stats_degree_class(
+            weighted, n_runs=n_runs, seed=seed, a=a, b=b
+        )
     sum_d = deg.agg(F.sum("d").alias("sum_d"))
     di = deg.select(F.col("node").alias("i"), F.col("d").alias("di"))
     dj = deg.select(F.col("node").alias("j"), F.col("d").alias("dj"))

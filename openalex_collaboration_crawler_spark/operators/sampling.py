@@ -41,6 +41,12 @@ def _bucket_sql(key_expr: str, salt: str) -> str:
     return f"({portable_hash64_sql(f'CAST({key_expr} AS VARCHAR)', salt=salt)}) % {_BUCKETS}"
 
 
+def _threshold(rate: float) -> int:
+    """Rate → integer bucket threshold, computed once driver-side so
+    Spark and the SQL oracle compare against the SAME literal."""
+    return int(round(float(rate) * _BUCKETS))
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,
@@ -51,14 +57,22 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep each row with its stratum's rate, decided by hash(key):
     deterministic across reruns/partitionings, no shuffle. Strata not
-    in ``rates`` use ``default_rate`` (0 = drop)."""
-    rate = None
+    in ``rates`` use ``default_rate`` (0 = drop).
+
+    Thresholds are computed ONCE in Python as ``int(round(r * 1e6))``
+    and embedded as integer literals in both the Spark when-chain and
+    the SQL CASE (round-3 ADVICE): a double multiply cast to long
+    truncates (0.3 → 299999 in Spark) while DuckDB's DECIMAL rounds
+    (→ 300000) — binary-unrepresentable rates would silently break
+    the exact-oracle guarantee."""
+    thresh = None
     for s, r in sorted(rates.items()):
         cond = F.col(strata_col) == F.lit(s)
-        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
-    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
-    keep = _bucket(F.col(key_col), salt) < (rate * _BUCKETS).cast("long")
-    return df.where(keep)
+        t = F.lit(_threshold(r))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default_t = F.lit(_threshold(default_rate))
+    thresh = default_t if thresh is None else thresh.otherwise(default_t)
+    return df.where(_bucket(F.col(key_col), salt) < thresh)
 
 
 def stratified_sample_sql(
@@ -70,12 +84,9 @@ def stratified_sample_sql(
     salt: str = "strat",
 ) -> str:
     whens = " ".join(
-        f"WHEN '{s}' THEN CAST({float(r)} * {_BUCKETS} AS BIGINT)"
-        for s, r in sorted(rates.items())
+        f"WHEN '{s}' THEN {_threshold(r)}" for s, r in sorted(rates.items())
     )
-    thresh = (
-        f"(CASE {strata_col} {whens} ELSE CAST({float(default_rate)} * {_BUCKETS} AS BIGINT) END)"
-    )
+    thresh = f"(CASE {strata_col} {whens} ELSE {_threshold(default_rate)} END)"
     return f"""
 SELECT * FROM ({table_sql})
 WHERE {_bucket_sql(key_col, salt)} < {thresh}

@@ -196,3 +196,42 @@ def build_robots(spark: SparkSession) -> DataFrame:
         ("host2.example.org", ["/private"]),
     ]
     return spark.createDataFrame(rows, "host string, disallow array<string>")
+
+
+# Fixed world parameters for the driver-gate `crawl_order_prefix`
+# query: the query callable (Spark CrawlEngine) and
+# tools/build_crawl_golden.py (sequential OracleCrawler) MUST build
+# the identical world, so the parameters live here once. Sized so the
+# full crawl finishes in a handful of seconds at gate time while the
+# hot-host cap (3/batch on host0's ~30% of pages) still forces the
+# politeness path to bind across many batches.
+GATE_WORLD = {
+    "n_pages": 120,
+    "n_seeds": 4,
+    "default_per_batch": 5,
+    "hot_per_batch": 3,
+    "default_per_host": 5,
+    "max_batches": 40,
+}
+
+
+def build_gate_world(spark: SparkSession, root: str) -> dict:
+    """Materialize the GATE_WORLD inputs under ``root``; returns the
+    kwargs for a CrawlEngine over them (state_dir included)."""
+    import os
+
+    pages_path = os.path.join(root, "pages")
+    build_pages(spark, n_pages=GATE_WORLD["n_pages"]).write.mode("overwrite").parquet(
+        pages_path
+    )
+    return {
+        "pages_path": pages_path,
+        "state_dir": os.path.join(root, "state"),
+        "politeness": build_politeness(
+            spark,
+            default_per_batch=GATE_WORLD["default_per_batch"],
+            hot_per_batch=GATE_WORLD["hot_per_batch"],
+        ),
+        "robots": build_robots(spark),
+        "default_per_host": GATE_WORLD["default_per_host"],
+    }

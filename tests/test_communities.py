@@ -186,3 +186,34 @@ def test_louvain_per_interval_default_and_guard(spark):
     plain = df.drop("interval")
     with pytest.raises(Exception, match="max_edges_per_group"):
         louvain_communities(plain, max_edges_per_group=3).collect()
+
+
+def test_louvain_graph_col_none_is_single_global_solve(spark):
+    """graph_col=None must ALWAYS mean one global solve — even when
+    the frame carries a LOUVAIN_DEFAULT_GRAPH_COLS column (round-3
+    ADVICE: auto-detection is opt-in via the explicit 'auto' sentinel,
+    the default; an external caller passing None must not silently
+    flip to per-group solves)."""
+    from openalex_collaboration_crawler_spark.operators.graphstats import (
+        louvain_communities,
+    )
+
+    edges = []
+    for interval in ("1990-2000", "2000-2010"):
+        base = 0 if interval < "2000" else 100
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((interval, base + i, base + j, 5))
+    # bridge edge so the global solve differs structurally from the
+    # per-interval union
+    edges.append(("1990-2000", 3, 100, 5))
+    df = spark.createDataFrame(
+        edges, "interval string, author1 long, author2 long, weight long"
+    )
+    out = louvain_communities(df, graph_col=None).collect()
+    assert {r["graph"] for r in out} == {"all"}          # ONE global graph
+    want = _louvain_python([(u, v, w) for _, u, v, w in edges], seed=42)
+    assert {r["node"]: r["community"] for r in out} == want
+    # and 'auto' (the default) still groups per interval
+    auto = louvain_communities(df).collect()
+    assert {r["graph"] for r in auto} == {"1990-2000", "2000-2010"}

@@ -73,3 +73,34 @@ def test_degree_class_stats_agree_with_exact_sampler(spark):
     )
     # the ensemble varies across runs (variance preserved, not collapsed)
     assert dc["var_n_edges"] > 0
+
+
+def test_null_model_auto_dispatches_to_degree_class_at_scale(spark):
+    """null_model_stats with >max_exact_nodes distinct nodes must
+    route to the degree-class sampler (VERDICT r3 #4: the default
+    composes safely — the O(n²·runs) pair generator would be 7·10^9
+    candidate pairs here and could never finish in-test), producing
+    byte-identical output to calling null_model_stats_degree_class
+    directly."""
+    n = 120_000  # path graph: n-1 edges, degrees 1 and 2
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("author1"),
+        (F.col("id") + 1).alias("author2"),
+        F.lit(1).alias("weight"),
+    )
+    auto = null_model_stats(edges, n_runs=2, seed=5, max_exact_nodes=100_000)
+    direct = null_model_stats_degree_class(edges, n_runs=2, seed=5)
+    assert auto.collect() == direct.collect()
+
+
+def test_null_model_exact_path_below_threshold_and_on_none(spark):
+    """Below the threshold (and with max_exact_nodes=None) the exact
+    Bernoulli path keeps its answers — the r3 oracle row must be
+    unaffected by the new switch."""
+    edges = spark.createDataFrame(
+        [(i, j, 1) for i in range(12) for j in range(i + 1, 12)],
+        "author1 long, author2 long, weight long",
+    )
+    base = null_model_stats(edges, n_runs=3, seed=9).collect()
+    forced = null_model_stats(edges, n_runs=3, seed=9, max_exact_nodes=None).collect()
+    assert base == forced

@@ -76,3 +76,33 @@ def test_hash_split_rejects_over_one(spark):
 
     with pytest.raises(ValueError):
         hash_split(_docs(spark), "doc_id", {"a": 0.7, "b": 0.5})
+
+
+def test_stratified_sample_exact_oracle_on_unrepresentable_rates(spark):
+    """Rates like 0.3/0.7 are not binary-representable: a double
+    multiply cast to long truncates in Spark (0.3*1e6 -> 299999) while
+    DuckDB's DECIMAL arithmetic rounds (-> 300000). Both sides now
+    embed the SAME int(round(r*1e6)) literal (round-3 ADVICE), so the
+    engines must agree row-for-row at every rate."""
+    import duckdb
+
+    from openalex_collaboration_crawler_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    docs = _docs(spark)
+    rates = {"en": 0.3, "de": 0.7, "fr": 0.1}
+    spark_ids = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "doc_id", "lang", rates, default_rate=0.9
+        ).collect()
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = stratified_sample_sql("SELECT * FROM docs", "doc_id", "lang", rates, 0.9)
+    duck_ids = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql}) ORDER BY doc_id").fetchall())
+    assert spark_ids == duck_ids
+    assert len(spark_ids) > 0
