@@ -192,6 +192,17 @@ class CrawlEngine:
     # stay on the broadcast path, while tens of millions of maybe-seen
     # survivors at 10^10 scale still must never be broadcast.
     survivor_broadcast_limit: int = 16_000_000
+    # secondary trigger (round-3 ADVICE): the 16M pre-dedup cap only
+    # protects when the batch's link-duplication factor is ≥~8×. A
+    # near-unique-outlink batch could put ~16M DISTINCT survivors on
+    # the broadcast path, so the previous batch's measured duplication
+    # factor (links_total/discovered, both already in the committed
+    # metrics) scales links_total into an estimated distinct count,
+    # and THAT is capped here. Estimate missing (resume from an older
+    # state version) → only the provable links_total cap applies.
+    # Both triggers are OR-ed: the switch can only engage the shuffle
+    # path MORE often than the provable bound alone, never less.
+    survivor_distinct_limit: int = 2_000_000
     # every K batches the seen delta is written as the COMPACTED full
     # union (table maintenance): the union read stays O(K) directories
     # instead of one per batch. Crash-safe: the compaction point is
@@ -451,12 +462,17 @@ class CrawlEngine:
         executor memory (at 100 TB it could not, and locally a 3M-row
         heap cache of html bytes measured as multi-GB GC churn).
 
-        Staleness: a `_prep_marker.json` records a content fingerprint
-        of the source files; a fingerprint/version mismatch rebuilds
-        (regenerated-in-place corpora must never be served from the
-        stale derivation). The build goes to a temp dir and lands via
-        atomic rename, so two engines racing on the same pages_path
-        cannot interleave partial writes."""
+        Staleness: the prepared table lives in a VERSIONED directory
+        named by the source fingerprint (`…_prepared-<files_md5>`), so
+        a source change publishes a NEW directory instead of deleting
+        the one concurrent readers are mid-job on (round-3 ADVICE: the
+        old rmtree-then-rename of a shared published path could fail a
+        concurrent engine mid-read, and two builders racing the rmtree
+        could hit FileNotFoundError). A `_prep_marker.json` inside
+        still records the fingerprint as a completeness witness; the
+        build goes to a unique temp dir and lands via atomic rename,
+        and stale sibling versions are swept best-effort only AFTER
+        the current version is published."""
         if self._pages_prepared is not None:
             return self._pages_prepared
         from pyspark.sql.window import Window
@@ -464,9 +480,10 @@ class CrawlEngine:
         # derived purely from the input table → lives NEXT TO it and is
         # reused across runs/engines (like a one-time table-format
         # conversion, not crawl work)
-        path = self.pages_path.rstrip("/") + "_prepared"
-        marker = os.path.join(path, "_prep_marker.json")
         fp = self._pages_fingerprint()
+        base = self.pages_path.rstrip("/") + "_prepared"
+        path = f"{base}-{fp['files_md5'][:16]}"
+        marker = os.path.join(path, "_prep_marker.json")
         fresh = False
         if os.path.isdir(path) and os.path.isfile(marker):
             try:
@@ -506,8 +523,11 @@ class CrawlEngine:
             )
             with open(os.path.join(tmp, "_prep_marker.json"), "w") as f:
                 json.dump(fp, f)
+            # a half-published dir at the versioned path can only be a
+            # crashed rename's debris (rename is atomic; a COMPLETE dir
+            # has the marker and would have read fresh above)
             if os.path.isdir(path):
-                shutil.rmtree(path)
+                shutil.rmtree(path, ignore_errors=True)
             try:
                 os.rename(tmp, path)  # atomic publish
             except OSError:
@@ -516,6 +536,21 @@ class CrawlEngine:
                 shutil.rmtree(tmp, ignore_errors=True)
                 if not os.path.isdir(path):
                     raise
+            # sweep stale versions AFTER publish (best-effort: another
+            # engine may be sweeping too, or still reading a stale
+            # version mid-job — its files stay open on POSIX; it
+            # re-resolves the current version on its next _pages())
+            parent = os.path.dirname(path) or "."
+            prefix = os.path.basename(base)
+            for n in os.listdir(parent):
+                cand = os.path.join(parent, n)
+                if (
+                    (n == prefix or n.startswith(prefix + "-"))
+                    and ".build-" not in n  # a concurrent builder's live temp
+                    and cand != path
+                    and os.path.isdir(cand)
+                ):
+                    shutil.rmtree(cand, ignore_errors=True)
         self._pages_prepared = self.spark.read.parquet(path)
         return self._pages_prepared
 
@@ -720,9 +755,18 @@ class CrawlEngine:
             # co-partitioned shuffle when a recrawl-heavy batch could
             # OOM the broadcast (the switch engages in the spike batch
             # itself — the bound is current, not last batch's count).
+            # Secondary distinct-estimate trigger: see
+            # survivor_distinct_limit.
+            prev_links = int(prev.get("links_total", 0) or 0)
+            prev_disc = int(prev.get("discovered", 0) or 0)
+            est_distinct = (
+                links_total * prev_disc / prev_links if prev_links > 0 and prev_disc > 0
+                else None
+            )
             survivor_join = (
                 "shuffle"
                 if links_total > self.survivor_broadcast_limit
+                or (est_distinct is not None and est_distinct > self.survivor_distinct_limit)
                 else "broadcast"
             )
             marked = mark_new_against_seen(
@@ -826,6 +870,7 @@ class CrawlEngine:
             "parsed_ok": parsed_ok,
             "text_match": text_match,
             "discovered": int(n_discovered),
+            "links_total": int(links_total),
             "new_urls": int(n_new),
             "deduped": int(n_discovered - n_new),
             "seen_rows": seen_rows + int(n_new),
