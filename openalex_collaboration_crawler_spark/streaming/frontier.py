@@ -209,6 +209,25 @@ class CrawlEngine:
     # recorded in the commit marker (seen_base); an uncommitted
     # compacted delta is simply overwritten on replay.
     compact_every: int = 8
+    # -------- log-structured pending (Iceberg merge-on-read analogue)
+    # A full pending rewrite per batch is O(frontier) I/O — at a
+    # 10^10-URL frontier that dwarfs the batch itself. Instead each
+    # batch appends only its NEW urls (pending_add/b{N}, the "data
+    # files") and the fetched set doubles as equality-delete files:
+    # the results parquet already persists the batch's url_hash
+    # column, so delta mode writes ZERO extra delete state. The read
+    # side is base ∪ adds(base..v] ANTI-JOIN fetched(base..v] — the
+    # delete set is bounded by pending_delta_max_dels (below), so the
+    # anti-join is always a broadcast (never a frontier shuffle).
+    # Compaction (the full rewrite, = the old behavior) folds the
+    # chain back into a new base when the delete set would exceed the
+    # broadcast bound or the chain exceeds pending_compact_every dirs
+    # — Iceberg's rewrite_data_files, driven by the same two
+    # pressures (delete-file volume, manifest fan-out). Crash-safe:
+    # pending_base/pending_dels live in the commit marker; an
+    # uncommitted add/compaction is overwritten on replay.
+    pending_compact_every: int = 8
+    pending_delta_max_dels: int = 4_000_000
     # pipeline the previous batch's seen/bloom state writes (and its
     # commit marker) into the NEXT batch's select+parse window: those
     # writes are only read again by the next batch's DEDUP phase, so
@@ -250,7 +269,7 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         if self._pool is None:
-            self._pool = ThreadPoolExecutor(max_workers=2)
+            self._pool = ThreadPoolExecutor(max_workers=3)
         return self._pool
 
     def _flush_overlap(self) -> dict | None:
@@ -312,10 +331,36 @@ class CrawlEngine:
     def _path(self, name: str, tag: str) -> str:
         return os.path.join(self.state_dir, name, tag)
 
-    def _load_pending(self, version: int) -> DataFrame:
-        return self.spark.read.schema(PENDING_SCHEMA).parquet(
-            self._path("pending", f"v{version}")
-        )
+    def _load_pending(self, version: int, commit: dict | None = None) -> DataFrame:
+        """Merge-on-read view of the frontier at ``version``: the last
+        compacted base, plus the add deltas after it, minus everything
+        fetched since (the results parquet IS the equality-delete
+        file — no separate delete state exists). The delete set is ≤
+        ``pending_delta_max_dels`` by the writer's compaction invariant,
+        so the anti-join broadcasts the deletes and never shuffles the
+        frontier. Legacy commits (no ``pending_base``) read the full
+        copy at ``version`` unchanged."""
+        commit = commit if commit is not None else self._read_commit(version)
+        base = int(commit.get("pending_base", version))
+        df = self.spark.read.schema(PENDING_SCHEMA).parquet(self._path("pending", f"v{base}"))
+        adds = [
+            p
+            for i in range(base + 1, version + 1)
+            if os.path.isdir(p := self._path("pending_add", f"b{i}"))
+        ]
+        if adds:
+            df = df.unionByName(self.spark.read.schema(PENDING_SCHEMA).parquet(*adds))
+        dels = [
+            p
+            for i in range(base + 1, version + 1)
+            if os.path.isdir(p := os.path.join(self.state_dir, "results", f"batch={i}"))
+        ]
+        if dels:
+            fetched = (
+                self.spark.read.schema(RESULTS_SCHEMA).parquet(*dels).select("url_hash")
+            )
+            df = df.join(F.broadcast(fetched), "url_hash", "left_anti")
+        return df
 
     def _load_seen_union(self, version: int, base: int = 0) -> DataFrame:
         """Union of seen deltas b{base}..b{version} — ``base`` comes
@@ -359,22 +404,37 @@ class CrawlEngine:
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.rename(tmp, final)  # atomic commit point
-        self._vacuum(version, int(payload.get("seen_base", 0)))
+        self._vacuum(
+            version,
+            int(payload.get("seen_base", 0)),
+            payload.get("pending_base"),
+        )
 
-    def _vacuum(self, version: int, seen_base: int) -> None:
+    def _vacuum(self, version: int, seen_base: int, pending_base: int | None = None) -> None:
         """Expire-snapshots table maintenance: drop state versions no
         commit can reference anymore. Resume reads the LATEST commit
-        (version v → pending/v{v}, bloom/v{v}, seen b{seen_base}..b{v}),
-        so pending/bloom versions ≤ v−2 and seen deltas below the last
-        compaction point are unreachable from every surviving commit —
-        a crash at any point leaves the referenced set intact. Without
-        this, a long crawl accumulates O(batches) full pending copies
+        (version v → pending base(v) + adds(base..v], bloom/v{v}, seen
+        b{seen_base}..b{v}); recovery tolerance keeps one older commit
+        readable, so the deletable set is everything below
+        min(base(v), base(v−1)) for pending (full copies AND add
+        deltas at or below a base are folded into it), bloom ≤ v−2,
+        and seen deltas below the last compaction point — a crash at
+        any point leaves the referenced set intact. Without this, a
+        long crawl accumulates O(batches) full pending copies
         (Iceberg's expire_snapshots exists for the same reason)."""
-        for k in range(max(0, version - 16), version - 1):
-            for name in ("pending", "bloom"):
-                p = self._path(name, f"v{k}")
+        if pending_base is None:
+            pending_base = version  # legacy commit: full copy at v
+        prev_base = int(self._read_commit(version - 1).get("pending_base", version - 1))
+        keep_from = max(0, min(pending_base, prev_base))
+        for k in range(max(0, keep_from - 16), keep_from):
+            for name in ("pending", "pending_add"):
+                p = self._path(name, f"v{k}" if name == "pending" else f"b{k}")
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
+        for k in range(max(0, version - 16), version - 1):
+            p = self._path("bloom", f"v{k}")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
         for k in range(max(0, seen_base - 16), seen_base):
             p = self._path("seen", f"b{k}")
             if os.path.isdir(p):
@@ -423,6 +483,8 @@ class CrawlEngine:
                 "seen_rows": int(n_seen),
                 "seen_base": 0,
                 "pending_rows": int(n_pending),
+                "pending_base": 0,
+                "pending_dels": 0,
             },
         )
 
@@ -591,15 +653,16 @@ class CrawlEngine:
         if prev.get("pending_rows") == 0:
             self._flush_overlap()
             return {"batch": batch_id, "fetched": 0, "done": True}
-        pending = self._load_pending(v)
+        pending = self._load_pending(v, prev)
 
         pending_prev = prev.get("pending_rows")
         # Intermediate-sharing strategy (each choice measured — see
         # BENCH/BASELINE.md):
-        #  - the RANGE-RANKED frame inside select_batch is a lazy
-        #    localCheckpoint: the range exchange's boundary sampling is
-        #    order-sensitive, so its RDD must be pinned once (the
-        #    determinism hazard); small, freed by end-of-batch gc.
+        #  - the global rank inside select_batch uses static url_hash
+        #    buckets (politeness.add_global_seq): a pure function of
+        #    row values, so no boundary sampling, no checkpoint, no
+        #    order-sensitivity — two jobs fewer per batch than the
+        #    previous repartitionByRange design.
         #  - the decoded batch is materialized BY THE RESULTS WRITE
         #    itself (phase 1): the parquet file then backs every other
         #    consumer via a column-pruned re-read (the dedup branch
@@ -815,15 +878,33 @@ class CrawlEngine:
         new_pending = marked_obs.where(F.col("is_new") & ~F.col("__blocked")).select(
             *enqueue_cols
         )
-        # pending shrinks by the batch, grows by the new fetchable urls
-        next_pending = pending.join(batch.select("url_hash"), "url_hash", "left_anti").unionByName(
-            new_pending
+        # pending shrinks by the batch, grows by the new fetchable
+        # urls. Delta mode (the merge-on-read default) appends ONLY
+        # the new urls — the just-written results parquet is the
+        # equality-delete file for the fetched set, so the write is
+        # O(new), not O(frontier). Compaction folds the chain into a
+        # fresh base when the accumulated delete set would outgrow the
+        # read side's broadcast bound or the chain gets too long.
+        pending_base_prev = int(prev.get("pending_base", v))
+        dels_after = int(prev.get("pending_dels", 0) or 0) + n_fetched
+        compact_pending = (
+            dels_after > self.pending_delta_max_dels
+            or (batch_id - pending_base_prev) >= self.pending_compact_every
         )
-
-        from concurrent.futures import ThreadPoolExecutor
+        if compact_pending:
+            next_pending = pending.join(
+                batch.select("url_hash"), "url_hash", "left_anti"
+            ).unionByName(new_pending)
+        else:
+            next_pending = new_pending
 
         def j_pending():
-            next_pending.write.mode("overwrite").parquet(self._path("pending", f"v{batch_id}"))
+            path = (
+                self._path("pending", f"v{batch_id}")
+                if compact_pending
+                else self._path("pending_add", f"b{batch_id}")
+            )
+            next_pending.write.mode("overwrite").parquet(path)
 
         def j_seen():
             delta = new_urls.select("url_hash")
@@ -849,14 +930,14 @@ class CrawlEngine:
         # ---- phase 2: the pending write MATERIALIZES `marked` (and its
         # CollectMetrics node supplies the dedup counters — the serial
         # collect round-trip this replaces was part of the measured
-        # per-batch floor). The independent lineage-metrics write (reads
-        # the results parquet, not `marked`) pipelines alongside it;
-        # j_seen/j_bloom wait so they hit a materialized cache instead
-        # of racing to re-execute the dedup subtree (~3× waste, measured).
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            writes = [pool.submit(timed(j)) for j in (j_pending, j_part_metrics)]
-            for f in writes:
-                f.result()
+        # per-batch floor). It runs ALONE: it is the only write the
+        # next batch's select phase reads. j_seen/j_bloom wait so they
+        # hit a materialized cache instead of racing to re-execute the
+        # dedup subtree (~3× waste, measured); the lineage-metrics
+        # write (reads the durable results parquet, nothing reads it
+        # back in the loop) is deferred with them into the next
+        # batch's parse window.
+        timed(j_pending)()
         m_dedup = obs_dedup.get
         n_discovered = int(m_dedup["nd"])
         n_new = int(m_dedup["nn"] or 0)
@@ -876,15 +957,23 @@ class CrawlEngine:
             "seen_rows": seen_rows + int(n_new),
             "seen_base": batch_id if do_compact else seen_base,
             "pending_rows": pending_rows,
+            "pending_base": batch_id if compact_pending else pending_base_prev,
+            "pending_dels": 0 if compact_pending else dels_after,
             "bloom_mode": bloom_mode,
             "done": pending_rows == 0,
         }
         batch.unpersist()
-        # ---- phase 3: seen/bloom state writes. Only the NEXT batch's
-        # dedup phase reads them, so by default they are deferred into
-        # its select+parse window (see overlap_state_writes); the final
-        # batch (and overlap-off mode) completes them synchronously.
-        futures = [self._ensure_pool().submit(timed(j)) for j in (j_seen, j_bloom)]
+        # ---- phase 3: seen/bloom state + lineage-metrics writes. The
+        # loop itself never reads them again this batch (seen/bloom
+        # feed the NEXT batch's dedup phase; lineage feeds only the
+        # metrics_table accessor), so by default they are deferred into
+        # the next batch's select+parse window (overlap_state_writes);
+        # the final batch (and overlap-off mode) completes them
+        # synchronously, and every accessor flushes first.
+        futures = [
+            self._ensure_pool().submit(timed(j))
+            for j in (j_seen, j_bloom, j_part_metrics)
+        ]
         release = [marked] + ([bloom] if bloom is not None else [])
         self._overlap = {
             "batch_id": batch_id,

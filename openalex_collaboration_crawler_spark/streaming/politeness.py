@@ -88,7 +88,7 @@ def select_batch(
     crawl loop's committed pending counter) picks the ranking
     strategy: below SMALL_BATCH_ROWS a single-partition window ranks
     the politeness-capped set in ONE extra shuffle; above it the
-    two-phase parallel range rank (:func:`add_global_seq`) keeps every
+    static-bucket parallel rank (:func:`add_global_seq`) keeps every
     task bounded. Both produce the identical ``seq`` — the order is a
     pure function of the data (north rule).
 
@@ -120,47 +120,53 @@ def select_batch(
     return ranked.where(F.col("seq") < batch_cap)
 
 
-def add_global_seq(df: DataFrame, n_parts: int | None = None) -> DataFrame:
+def add_global_seq(df: DataFrame, n_buckets: int = 256) -> DataFrame:
     """Deterministic dense global ``seq`` by (depth, -priority,
-    url_hash) WITHOUT a single-partition sort and WITHOUT any driver
-    round-trip.
+    url_hash, url) WITHOUT a single-partition sort and WITHOUT any
+    driver round-trip.
 
-    Two-phase global rank, fully in-plan: range-repartition on the
-    order keys, rank within each range partition in parallel, then
-    shift each partition's ranks by the cumulative counts of the
-    partitions before it. The offsets are a cumulative-sum window over
-    the tiny (n_parts-row) per-partition count table, broadcast-joined
-    back — no driver-side collect (the round-trip was the crawl
-    loop's measured per-batch latency floor).
+    Static-bucket two-phase rank, fully in-plan: the bucket
+    ``__b = (url_hash >> 56) + 128`` is a MONOTONE pure function of
+    ``url_hash`` (arithmetic shift keeps signed order; xxhash64 is
+    uniform so the 256 buckets are balanced), so the global frontier
+    order factorizes as (depth asc, priority desc, __b asc, url_hash
+    asc, url asc). Rank within each (depth, priority, __b) group in
+    parallel, then shift by the cumulative counts of the groups
+    before it — a window over the tiny (≤ 256 × |depth×priority|
+    row) count table, broadcast-joined back.
 
-    The ranged frame is ``localCheckpoint``-ed before fanning into the
-    count and rank branches. This is LOAD-BEARING: the range
-    exchange's boundary sampling runs over its child's row order,
-    which after an upstream shuffle is nondeterministic — two
-    independent evaluations of the exchange can pick DIFFERENT
-    boundaries, making per-partition offsets inconsistent with the
-    ranks (duplicate/gapped seq; observed at 150k rows). With the
-    checkpoint both branches read one materialized partitioning, and
-    boundaries then only affect which task computes a rank, never the
-    rank itself — so crawl-order parity holds at any parallelism (the
-    north-rule requirement)."""
-    if n_parts is None:
-        n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    ranged = df.repartitionByRange(
-        n_parts,
-        F.col("depth").asc(),
-        F.col("priority").desc(),
-        F.col("url_hash").asc(),
-        F.col("url").asc(),
-    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
-    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    Versus the previous ``repartitionByRange`` + ``localCheckpoint``
+    design this removes two Spark jobs per batch (the range
+    exchange's boundary-SAMPLING pass — a full extra scan of the
+    candidates — and the checkpoint materialization) and removes the
+    determinism hazard outright: range boundaries depended on the
+    child's row order (two evaluations could disagree after an
+    upstream shuffle; observed at 150k rows, previously pinned with a
+    localCheckpoint), while the static bucket is a pure function of
+    row VALUES — identical on every evaluation at any parallelism,
+    which is the north-rule ordering requirement."""
+    keyed = df.withColumn(
+        "__b", (F.shiftright(F.col("url_hash"), 56) + F.lit(128)).cast("int")
     )
-    w = Window.partitionBy("__pid").orderBy(*frontier_order())
+    counts = keyed.groupBy("depth", "priority", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # tiny unpartitioned window: ≤ n_buckets × |distinct (depth,
+    # priority)| rows of counts — whitelisted in the plan-hygiene gate
+    w_off = Window.orderBy(
+        F.asc("depth"), F.desc("priority"), F.asc("__b")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "depth",
+        "priority",
+        "__b",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w = Window.partitionBy("depth", "priority", "__b").orderBy(
+        F.asc("url_hash"), F.asc("url")
+    )
     return (
-        ranged.join(F.broadcast(offsets), "__pid")
+        keyed.join(F.broadcast(offsets), ["depth", "priority", "__b"])
         .withColumn("seq", F.row_number().over(w) - 1 + F.col("__off"))
-        .drop("__pid", "__off")
+        .drop("__b", "__off")
     )

@@ -265,6 +265,58 @@ def test_robots_blocked_never_fetched(engine_run, spark):
     assert any(u.startswith("http://host1.example.org/") for u in fetched_urls)
 
 
+def test_pending_delta_aggressive_compaction(spark, world, oracle_run):
+    """Merge-on-read pending with a tiny compaction cadence (every 2
+    batches) — the delta-chain/compaction cycling must be
+    output-invariant, the base must actually advance, and a resume
+    must land mid-chain and finish identically."""
+    eng = _mk_engine(spark, world, "engine_pending_mor", pending_compact_every=2)
+    eng.init_from_seeds(world["seeds"])
+    for _ in range(5):
+        eng.run_batch()
+    c5 = eng._read_commit(5)
+    assert int(c5.get("pending_base", -1)) >= 2  # compaction advanced the base
+    eng2 = _mk_engine(spark, world, "engine_pending_mor", pending_compact_every=2)
+    eng2.run(max_batches=50)  # resume from disk across the chain
+    assert eng2.crawl_order() == oracle_run.order
+    assert eng2.seen_hashes() == oracle_run.seen
+
+
+def test_pending_compact_every_batch_same_result(spark, world, oracle_run):
+    """pending_delta_max_dels=0 forces compaction (the full rewrite,
+    i.e. the pre-MoR behavior) on every batch — both write modes must
+    be observably identical."""
+    eng = _mk_engine(
+        spark, world, "engine_pending_full", pending_delta_max_dels=0
+    )
+    eng.init_from_seeds(world["seeds"])
+    metrics = eng.run(max_batches=50)
+    assert all(
+        m.get("pending_dels", 0) == 0 for m in metrics if m.get("fetched")
+    )  # every batch compacted
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_pending_delta_never_compacts_same_result(spark, world, oracle_run):
+    """A huge cadence + delete bound keeps the whole crawl on one
+    delta chain (the 10^10-frontier regime: O(new) writes per batch,
+    deletes applied only at read time) — must be output-invariant."""
+    eng = _mk_engine(
+        spark,
+        world,
+        "engine_pending_chain",
+        pending_compact_every=10_000,
+        pending_delta_max_dels=1 << 40,
+    )
+    eng.init_from_seeds(world["seeds"])
+    metrics = eng.run(max_batches=50)
+    done = [m for m in metrics if m.get("fetched")]
+    assert int(done[-1].get("pending_base", -1)) == 0  # base never moved
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
 def test_overlap_off_same_result(spark, world, oracle_run):
     """Deferred state writes (overlap_state_writes, run()'s pipelined
     mode) are a pure latency optimization — outputs, commits, and the
