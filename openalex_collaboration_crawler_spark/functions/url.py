@@ -45,29 +45,63 @@ def canonicalize_url(col: Column | str) -> Column:
     """Canonical URL; non-absolute inputs (relative links, mailto:,
     malformed) pass through UNCHANGED — without the guard every
     non-matching URL would canonicalize to the same ``':///'`` string
-    and one shared hash, corrupting the seen set on any real corpus."""
+    and one shared hash, corrupting the seen set on any real corpus.
+
+    Evaluation strategy (measured, BENCH/BASELINE.md §2.1): a naive
+    single-expression form evaluates the URL regex 12+ times per row —
+    Catalyst's codegen subexpression elimination skips expressions
+    under conditional CASE WHEN branches, so nothing is shared and
+    the canonicalizer alone measured ~0.4 ms/URL (1,221 core-s for a
+    3M-page prepare). Higher-order-function lambda variables ARE
+    bound once per element, so the parts are extracted exactly once
+    into a struct and every downstream reference is a cheap field
+    read: 4 full-URL regex evaluations per row instead of 12+ (the
+    rlike guard is also folded away — group 1 is non-empty iff the
+    regex matches). Semantics are bit-identical to the naive form;
+    the DuckDB mirror (:func:`canonicalize_url_sql`) is unchanged."""
     url = F.col(col) if isinstance(col, str) else col
-    return F.when(url.rlike(_URL_RX), _canonicalize_matched(url)).otherwise(url)
-
-
-def _canonicalize_matched(url: Column) -> Column:
     scheme, authority, path, query = _parts(url)
-    host = (
-        F.when(
-            (scheme == "http") & authority.endswith(":80"),
-            F.regexp_replace(authority, ":80$", ""),
+    level0 = F.array(
+        F.struct(
+            scheme.alias("scheme"),
+            authority.alias("auth"),
+            path.alias("path"),
+            query.alias("query"),
+            url.alias("url"),
         )
-        .when(
-            (scheme == "https") & authority.endswith(":443"),
-            F.regexp_replace(authority, ":443$", ""),
-        )
-        .otherwise(authority)
     )
-    trimmed = F.regexp_replace(path, "/+$", "")
-    norm_path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
-    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    q_suffix = F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q))
-    return F.concat(scheme, F.lit("://"), host, norm_path, q_suffix)
+
+    def _level1(p: Column) -> Column:
+        scheme, auth = p["scheme"], p["auth"]
+        host = (
+            F.when(
+                (scheme == "http") & auth.endswith(":80"),
+                F.regexp_replace(auth, ":80$", ""),
+            )
+            .when(
+                (scheme == "https") & auth.endswith(":443"),
+                F.regexp_replace(auth, ":443$", ""),
+            )
+            .otherwise(auth)
+        )
+        return F.struct(
+            scheme.alias("scheme"),
+            host.alias("host"),
+            F.regexp_replace(p["path"], "/+$", "").alias("trimmed"),
+            F.array_join(F.array_sort(F.split(p["query"], "&")), "&").alias("q"),
+            p["url"].alias("url"),
+        )
+
+    def _level2(p: Column) -> Column:
+        norm_path = F.when(p["trimmed"] == "", F.lit("/")).otherwise(p["trimmed"])
+        q_suffix = F.when(p["q"] == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), p["q"])
+        )
+        return F.when(p["scheme"] == "", p["url"]).otherwise(
+            F.concat(p["scheme"], F.lit("://"), p["host"], norm_path, q_suffix)
+        )
+
+    return F.element_at(F.transform(F.transform(level0, _level1), _level2), 1)
 
 
 def canonicalize_url_sql(expr: str) -> str:
@@ -106,6 +140,22 @@ def url_host_sql(expr: str) -> str:
 def url_hash(col: Column | str) -> Column:
     """Stable 60-bit hash of the canonical URL — the seen-set key."""
     return portable_hash64(canonicalize_url(col))
+
+
+def url_hash_canonical(col: Column | str) -> Column:
+    """``url_hash`` for a column that is ALREADY canonical (the
+    output of :func:`canonicalize_url`). Canonicalization is
+    idempotent — the canonical form re-parses to itself (scheme/host
+    already lowered, default port already stripped, path already
+    trimmed with '' → '/', query already sorted) — so
+    ``url_hash(canon) == portable_hash64(canon)`` and re-running the
+    4-regex parse is pure waste. The crawl's dedup phase hashes every
+    distinct discovered URL per batch; skipping the re-parse there
+    removes one full canonicalization pass per URL (measured in
+    BENCH/BASELINE.md §2.1). tests/test_functions.py pins the
+    idempotence property."""
+    c = F.col(col) if isinstance(col, str) else col
+    return portable_hash64(c)
 
 
 def url_hash_sql(expr: str) -> str:

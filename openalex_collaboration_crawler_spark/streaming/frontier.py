@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 from openalex_collaboration_crawler_spark.functions.hashing import portable_hash64
 from openalex_collaboration_crawler_spark.functions.url import (
     canonicalize_url,
-    url_hash,
+    url_hash_canonical,
     url_host,
 )
 from openalex_collaboration_crawler_spark.streaming.politeness import (
@@ -125,10 +125,16 @@ def decode_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 match.append(False)
                 continue
             try:
-                body = json.loads(gzip.decompress(bytes(html)).decode("utf-8"))
+                # json.loads consumes the decompressed bytes directly —
+                # the explicit .decode("utf-8") this replaces allocated
+                # and scanned a second ~50 KB copy per page, pure
+                # memory-bandwidth waste in the path that bounds the
+                # crawl's measured scaling ceiling (decode probe 0.71).
+                body = json.loads(gzip.decompress(bytes(html)))
                 t = body.get("text")
+                lk = body.get("links")
                 texts.append(t)
-                links.append(list(body.get("links", [])))
+                links.append(lk if isinstance(lk, list) else [])
                 ok.append(True)
                 match.append(
                     t is not None
@@ -461,7 +467,7 @@ class CrawlEngine:
             .agg(F.max("priority").alias("priority"))
             .select(
                 "url",
-                url_hash("url").alias("url_hash"),
+                url_hash_canonical("url").alias("url_hash"),
                 url_host("url").alias("host"),
                 F.lit(0).cast("int").alias("depth"),
                 "priority",
@@ -794,7 +800,7 @@ class CrawlEngine:
             .agg(F.min("depth").alias("depth"))
             .select(
                 "url",
-                url_hash("url").alias("url_hash"),
+                url_hash_canonical("url").alias("url_hash"),
                 url_host("url").alias("host"),
                 F.col("depth"),
                 F.lit(0).cast("int").alias("priority"),

@@ -45,6 +45,44 @@ def test_canonicalize_url(spark, raw, expected):
     assert ORC.canonicalize_url(raw) == expected  # python oracle agrees
 
 
+NON_MATCHING = ["mailto:a@b.c", "/relative/path", "", "not a url", "ftp:/oneSlash"]
+
+
+def test_canonicalize_idempotent_and_hash_canonical(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the property
+    url_hash_canonical (frontier dedup hot path) relies on to skip the
+    re-parse — and url_hash(u) == portable_hash64(canonicalize(u))."""
+    raws = [c[0] for c in CANON_CASES] + NON_MATCHING
+    df = spark.createDataFrame([(r,) for r in raws], ["url"])
+    rows = df.select(
+        U.canonicalize_url("url").alias("c1"),
+        U.canonicalize_url(U.canonicalize_url("url")).alias("c2"),
+        U.url_hash("url").alias("h"),
+        U.url_hash_canonical(U.canonicalize_url("url")).alias("hc"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"]
+        assert r["h"] == r["hc"]
+
+
+def test_canonicalize_matches_sql_mirror(spark):
+    """The lambda-bound evaluation strategy must stay bit-identical to
+    the DuckDB mirror on matches, non-matches, and nulls."""
+    raws = [c[0] for c in CANON_CASES] + NON_MATCHING + [None]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    got = [r["c"] for r in df.select(U.canonicalize_url("url").alias("c")).collect()]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = [r[0] for r in con.sql(f"SELECT {U.canonicalize_url_sql('url')} FROM t").fetchall()]
+    assert got == want
+
+
+def test_canonicalize_passthrough_non_matching(spark):
+    df = spark.createDataFrame([(r,) for r in NON_MATCHING], ["url"])
+    got = [r["c"] for r in df.select(U.canonicalize_url("url").alias("c")).collect()]
+    assert got == NON_MATCHING  # unchanged, each keeps its own identity
+
+
 def test_url_host(spark):
     df = spark.createDataFrame([("http://A.b.C:8080/x",)], ["url"])
     assert df.select(U.url_host("url").alias("h")).collect()[0]["h"] == "a.b.c"
