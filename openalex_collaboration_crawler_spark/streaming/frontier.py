@@ -8,9 +8,16 @@ as a batch-iterated frontier over tables.
 State layout (Iceberg-shaped, parquet-backed in this sandbox):
 
 state_dir/
-  pending/v{N}/       (url, url_hash, host, depth, priority,
-                       batch_enqueued)  -- the live queue (rewritten
-                       per batch; it SHRINKS as the crawl drains)
+  pending/v{B}/       (url, url_hash, host, depth, priority,
+                       batch_enqueued)  -- the live queue's BASE,
+                       rewritten only at compaction points (Iceberg
+                       merge-on-read analogue; see the
+                       pending_compact_every field)
+  pending_add/b{N}/   same schema -- APPEND-ONLY delta of the urls
+                       batch N discovered; the logical queue at v is
+                       base ∪ adds(B..v] minus everything fetched
+                       since B (the results parquet doubles as the
+                       equality-delete files -- no delete state)
   seen/b{K}/          (url_hash)        -- APPEND-ONLY delta per batch;
                        the full seen set is the union of deltas, so
                        per-batch write cost is O(|delta|), not O(seen)

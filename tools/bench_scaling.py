@@ -126,14 +126,35 @@ def main() -> None:
     # scaling rather than the box's shared-cache/bandwidth ceiling —
     # which os_ceiling() measures fresh for every run.
     lo, hi = int(os.environ.get("SCALE_LO", "4")), int(os.environ.get("SCALE_HI", "16"))
+    # Interleaved repeated pairs with per-level BEST (min wall): this
+    # shared VM suffers intermittent co-tenant storms (minutes of
+    # 10-30x kernel/steal degradation — measured round 4) that hit
+    # wide runs far harder than narrow ones, so a single hi/lo sample
+    # can report an arbitrary efficiency in either direction. Storm
+    # noise is strictly ADDITIVE, so per-level minimum over REPS
+    # interleaved pairs is a consistent estimator of the engine's own
+    # wall at each width; every individual run is still archived
+    # unmodified in BENCH/scaling_runs.jsonl.
+    reps = int(os.environ.get("SCALE_REPS", "2"))
     zpath = build_zip()
     pages_path = ensure_pages()
-    # run each level twice, keep the second: first run absorbs the OS
-    # page-cache warmup for the input table (identical for both levels)
+    runs_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+
+    def record(level: str, r: dict) -> dict:
+        with open(runs_path, "a") as f:
+            json.dump({"ts": time.time(), "level": level, **r}, f)
+            f.write("\n")
+        return r
+
+    # warm-up run absorbs OS page-cache + prepared-table build
     run_at(hi, zpath, pages_path)
-    r_hi = run_at(hi, zpath, pages_path)
-    run_at(lo, zpath, pages_path)
-    r_lo = run_at(lo, zpath, pages_path)
+    runs_hi, runs_lo = [], []
+    for _ in range(reps):
+        runs_hi.append(record("hi", run_at(hi, zpath, pages_path)))
+        runs_lo.append(record("lo", run_at(lo, zpath, pages_path)))
+    r_hi = min(runs_hi, key=lambda r: r["crawl_sec"] + r["queries_sec"])
+    r_lo = min(runs_lo, key=lambda r: r["crawl_sec"] + r["queries_sec"])
 
     def eff(t_lo: float, t_hi: float) -> float:
         return round((t_lo / t_hi) * (lo / hi), 3)
@@ -157,6 +178,12 @@ def main() -> None:
         "os_ceiling_eff": box,
         "crawl_eff_vs_ceiling": round(crawl_eff / box, 3),
         "queries_eff_vs_ceiling": round(q_eff / box, 3),
+        # per-level spread across the interleaved reps — large spread =
+        # co-tenant storms during the session; all runs archived in
+        # scaling_runs.jsonl
+        "reps": reps,
+        "crawl_sec_hi_all": [r["crawl_sec"] for r in runs_hi],
+        "crawl_sec_lo_all": [r["crawl_sec"] for r in runs_lo],
     }
     print(json.dumps(result, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
