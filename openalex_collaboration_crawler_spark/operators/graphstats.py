@@ -379,6 +379,7 @@ def louvain_communities(
     w: str = "weight",
     graph_col: str | None = "auto",
     max_edges_per_group: int = LOUVAIN_MAX_EDGES_PER_GROUP,
+    impl: str = "native",
 ) -> DataFrame:
     """Louvain community detection (reference 05_community_extraction.
     py:60-63, networkx louvain seed=42).
@@ -401,12 +402,22 @@ def louvain_communities(
     ``max_edges_per_group`` (the solve raises rather than letting a
     full-scale edge list crawl inside one task).
 
-    The implementation is a from-scratch two-phase Louvain (local
-    moves + aggregation), deterministic under ``seed``; it matches
-    networkx in structure, not necessarily in the exact partition
-    (tie-breaking differs), which the reference itself does not pin
-    (its stability study runs unseeded, 06:71)."""
+    ``impl`` selects the per-group solver: ``"native"`` (default) is
+    the from-scratch two-phase Louvain (local moves + aggregation),
+    deterministic under ``seed``; it matches networkx in structure,
+    not necessarily in the exact partition (tie-breaking differs),
+    which the reference itself does not pin (its stability study runs
+    unseeded, 06:71). ``impl="networkx"`` runs
+    ``nx.community.louvain_communities(seed=seed)`` inside the same
+    ``applyInPandas`` group — EXACT partition parity with the
+    reference's published pickles (05_community_extraction.py:60-63)
+    for users diffing against them; requires networkx at the workers
+    (ImportError raised in-task otherwise). Same distribution
+    strategy and output contract either way."""
     import pandas as pd
+
+    if impl not in ("native", "networkx"):
+        raise ValueError(f"impl must be 'native' or 'networkx', got {impl!r}")
 
     if graph_col == "auto":
         graph_col = next(
@@ -427,9 +438,11 @@ def louvain_communities(
                 f"max_edges_per_group={max_edges_per_group}; backbone the "
                 "graph first or pass a finer graph_col"
             )
-        comm = _louvain_python(
-            list(zip(pdf["u"], pdf["v"], pdf["wt"])), seed=seed
-        )
+        edges = list(zip(pdf["u"], pdf["v"], pdf["wt"]))
+        if impl == "networkx":
+            comm = _louvain_networkx(edges, seed=seed)
+        else:
+            comm = _louvain_python(edges, seed=seed)
         return pd.DataFrame(
             {"graph": g, "node": list(comm), "community": [comm[n] for n in comm]}
         )
@@ -483,6 +496,31 @@ def louvain_ensemble(
 
     out_schema = "run long, node long, label long"
     return e.groupBy("run").applyInPandas(lambda key, p: solve(p), schema=out_schema)
+
+
+def _louvain_networkx(edges: list[tuple], seed: int = 42) -> dict:
+    """Reference-exact per-group solver: the literal networkx call the
+    reference makes (/root/reference/analysis/05_community_extraction.py:60-63,
+    ``nx.community.louvain_communities(G, seed=42)``), wrapped to this
+    module's contract: node → community id (min original member).
+    Runs INSIDE an applyInPandas task — imported lazily so the engine
+    works without networkx unless this impl is requested."""
+    import networkx as nx  # noqa: PLC0415 — worker-side optional dep
+
+    G = nx.Graph()
+    for u, v, wt in edges:
+        u, v = int(u), int(v)
+        if u == v:
+            continue
+        prev = G[u][v]["weight"] if G.has_edge(u, v) else 0.0
+        G.add_edge(u, v, weight=prev + float(wt))
+    comms = nx.community.louvain_communities(G, weight="weight", seed=seed)
+    out: dict = {}
+    for c in comms:
+        label = min(c)
+        for n in c:
+            out[int(n)] = int(label)
+    return out
 
 
 def _louvain_python(edges: list[tuple], seed: int = 42) -> dict:

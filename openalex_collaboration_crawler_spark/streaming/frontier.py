@@ -356,11 +356,21 @@ class CrawlEngine:
         commit = commit if commit is not None else self._read_commit(version)
         base = int(commit.get("pending_base", version))
         df = self.spark.read.schema(PENDING_SCHEMA).parquet(self._path("pending", f"v{base}"))
-        adds = [
-            p
-            for i in range(base + 1, version + 1)
-            if os.path.isdir(p := self._path("pending_add", f"b{i}"))
-        ]
+        # Commit invariant: every batch in (base, version] ran without
+        # compacting, and each such batch writes its pending_add/b{i}
+        # synchronously BEFORE its commit marker — so a missing add
+        # delta is lost state (bad vacuum, manual deletion), never a
+        # legitimate gap. Fail loudly instead of silently dropping
+        # frontier URLs.
+        adds = []
+        for i in range(base + 1, version + 1):
+            p = self._path("pending_add", f"b{i}")
+            if not os.path.isdir(p):
+                raise FileNotFoundError(
+                    f"frontier state corrupt: commit v{version} (pending_base="
+                    f"{base}) references missing add delta {p}"
+                )
+            adds.append(p)
         if adds:
             df = df.unionByName(self.spark.read.schema(PENDING_SCHEMA).parquet(*adds))
         dels = [
@@ -437,9 +447,20 @@ class CrawlEngine:
         (Iceberg's expire_snapshots exists for the same reason)."""
         if pending_base is None:
             pending_base = version  # legacy commit: full copy at v
-        prev_base = int(self._read_commit(version - 1).get("pending_base", version - 1))
+        prev = self._read_commit(version - 1)
+        prev2 = self._read_commit(version - 2)
+        prev_base = int(prev.get("pending_base", version - 1))
         keep_from = max(0, min(pending_base, prev_base))
-        for k in range(max(0, keep_from - 16), keep_from):
+        # Sweep from where the PREVIOUS vacuum's floor was, not a fixed
+        # window below keep_from: a dels-triggered compaction can
+        # advance the base by more than any fixed window in one step
+        # (and pending_compact_every is configurable), which used to
+        # leak the skipped pending/v{k} + pending_add/b{k} dirs
+        # forever. floor(v-1) = min(base(v-1), base(v-2)); the extra
+        # -16 margin re-covers a vacuum that crashed mid-sweep.
+        prev2_base = int(prev2.get("pending_base", version - 2))
+        prev_floor = max(0, min(prev_base, prev2_base))
+        for k in range(max(0, prev_floor - 16), keep_from):
             for name in ("pending", "pending_add"):
                 p = self._path(name, f"v{k}" if name == "pending" else f"b{k}")
                 if os.path.isdir(p):
@@ -448,7 +469,10 @@ class CrawlEngine:
             p = self._path("bloom", f"v{k}")
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
-        for k in range(max(0, seen_base - 16), seen_base):
+        # Seen deltas advance by compact_every per compaction — also a
+        # configurable jump, so sweep from the previous commit's base.
+        prev_seen = int(prev.get("seen_base", 0))
+        for k in range(max(0, prev_seen - 16), seen_base):
             p = self._path("seen", f"b{k}")
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)

@@ -125,15 +125,17 @@ def add_global_seq(df: DataFrame, n_buckets: int = 256) -> DataFrame:
     url_hash, url) WITHOUT a single-partition sort and WITHOUT any
     driver round-trip.
 
-    Static-bucket two-phase rank, fully in-plan: the bucket
-    ``__b = (url_hash >> 56) + 128`` is a MONOTONE pure function of
-    ``url_hash`` (arithmetic shift keeps signed order; xxhash64 is
-    uniform so the 256 buckets are balanced), so the global frontier
-    order factorizes as (depth asc, priority desc, __b asc, url_hash
-    asc, url asc). Rank within each (depth, priority, __b) group in
-    parallel, then shift by the cumulative counts of the groups
-    before it — a window over the tiny (≤ 256 × |depth×priority|
-    row) count table, broadcast-joined back.
+    Static-bucket two-phase rank, fully in-plan: ``url_hash`` is
+    :func:`~..functions.hashing.portable_hash64` — a uniform
+    NON-NEGATIVE 60-bit MD5-derived value — so
+    ``__b = url_hash >> (60 - log2(n_buckets))`` takes its top bits:
+    a MONOTONE pure function of ``url_hash`` yielding ``n_buckets``
+    balanced buckets. The global frontier order therefore factorizes
+    as (depth asc, priority desc, __b asc, url_hash asc, url asc).
+    Rank within each (depth, priority, __b) group in parallel, then
+    shift by the cumulative counts of the groups before it — a window
+    over the tiny (≤ n_buckets × |depth×priority| row) count table,
+    broadcast-joined back.
 
     Versus the previous ``repartitionByRange`` + ``localCheckpoint``
     design this removes two Spark jobs per batch (the range
@@ -145,8 +147,11 @@ def add_global_seq(df: DataFrame, n_buckets: int = 256) -> DataFrame:
     localCheckpoint), while the static bucket is a pure function of
     row VALUES — identical on every evaluation at any parallelism,
     which is the north-rule ordering requirement."""
+    if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= 1 << 60:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - n_buckets.bit_length() + 1  # top log2(n_buckets) of 60 bits
     keyed = df.withColumn(
-        "__b", (F.shiftright(F.col("url_hash"), 56) + F.lit(128)).cast("int")
+        "__b", F.shiftright(F.col("url_hash"), shift).cast("int")
     )
     counts = keyed.groupBy("depth", "priority", "__b").agg(
         F.count(F.lit(1)).alias("__cnt")

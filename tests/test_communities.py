@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from openalex_collaboration_crawler_spark.operators.analytics import (
     community_size_split,
     nmi,
@@ -217,3 +219,43 @@ def test_louvain_graph_col_none_is_single_global_solve(spark):
     # and 'auto' (the default) still groups per interval
     auto = louvain_communities(df).collect()
     assert {r["graph"] for r in auto} == {"1990-2000", "2000-2010"}
+
+
+def test_louvain_networkx_impl_matches_reference_solver(spark, sf_dir):
+    """impl="networkx" gives EXACT partition parity with the reference's
+    literal call — nx.community.louvain_communities(G, seed=42)
+    (/root/reference/analysis/05_community_extraction.py:60-63) — on the
+    same backbone the louvain gate query uses (weight >= 3 slice of the
+    collaboration graph). The engine's distributed applyInPandas solve
+    must equal a driver-side networkx run over the identical edge list;
+    community ids use this module's min-member convention, which is a
+    pure relabeling of the reference's partition (set-identical)."""
+    nx = pytest.importorskip("networkx")
+    from pyspark.sql import functions as F
+
+    from openalex_collaboration_crawler_spark.operators import edges as ED
+    from openalex_collaboration_crawler_spark.sources.tables import collab_model
+
+    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+        F.col("weight") >= 3
+    )
+    rows = w.collect()
+    G = nx.Graph()
+    for r in rows:
+        G.add_edge(int(r["author1"]), int(r["author2"]), weight=float(r["weight"]))
+    ref = nx.community.louvain_communities(G, weight="weight", seed=42)
+    want = {int(n): int(min(c)) for c in ref for n in c}
+
+    got = {
+        r["node"]: r["community"]
+        for r in louvain_communities(w, seed=42, impl="networkx").collect()
+    }
+    assert got == want
+
+    # default impl unchanged: native solver still returns a valid
+    # partition over the same node set (not necessarily the same one)
+    native = {
+        r["node"]: r["community"]
+        for r in louvain_communities(w, seed=42).collect()
+    }
+    assert set(native) == set(want)

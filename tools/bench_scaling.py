@@ -153,16 +153,24 @@ def main() -> None:
     for _ in range(reps):
         runs_hi.append(record("hi", run_at(hi, zpath, pages_path)))
         runs_lo.append(record("lo", run_at(lo, zpath, pages_path)))
+    # Archived headline run = best COMBINED wall per level; but the
+    # efficiency estimator takes the min over runs PER PHASE: storm
+    # noise is additive per phase, and a run that is best combined can
+    # still be storm-taxed in one phase, biasing that phase's eff.
     r_hi = min(runs_hi, key=lambda r: r["crawl_sec"] + r["queries_sec"])
     r_lo = min(runs_lo, key=lambda r: r["crawl_sec"] + r["queries_sec"])
+    crawl_lo = min(r["crawl_sec"] for r in runs_lo)
+    crawl_hi = min(r["crawl_sec"] for r in runs_hi)
+    q_lo = min(r["queries_sec"] for r in runs_lo)
+    q_hi = min(r["queries_sec"] for r in runs_hi)
 
     def eff(t_lo: float, t_hi: float) -> float:
         return round((t_lo / t_hi) * (lo / hi), 3)
 
-    crawl_eff = eff(r_lo["crawl_sec"], r_hi["crawl_sec"])
-    q_eff = eff(r_lo["queries_sec"], r_hi["queries_sec"])
-    total_lo = r_lo["crawl_sec"] + r_lo["queries_sec"]
-    total_hi = r_hi["crawl_sec"] + r_hi["queries_sec"]
+    crawl_eff = eff(crawl_lo, crawl_hi)
+    q_eff = eff(q_lo, q_hi)
+    total_lo = crawl_lo + q_lo
+    total_hi = crawl_hi + q_hi
     box = os_ceiling(lo, hi)
     result = {
         "lo": r_lo,
@@ -170,8 +178,10 @@ def main() -> None:
         "crawl_eff": crawl_eff,
         "queries_eff": q_eff,
         "total_eff": eff(total_lo, total_hi),
-        "crawl_urls_per_sec_lo": round(r_lo["crawl_urls"] / r_lo["crawl_sec"], 1),
-        "crawl_urls_per_sec_hi": round(r_hi["crawl_urls"] / r_hi["crawl_sec"], 1),
+        "crawl_urls_per_sec_lo": round(r_lo["crawl_urls"] / crawl_lo, 1),
+        "crawl_urls_per_sec_hi": round(r_hi["crawl_urls"] / crawl_hi, 1),
+        "crawl_sec_min": {"lo": crawl_lo, "hi": crawl_hi},
+        "queries_sec_min": {"lo": q_lo, "hi": q_hi},
         # same-session pure-CPU lo→hi scaling of this shared VM — the
         # hard cap on every efficiency above, measured fresh because it
         # drifts day to day (0.89 r1 → ~0.76 r3)
