@@ -235,3 +235,38 @@ def build_gate_world(spark: SparkSession, root: str) -> dict:
         "robots": build_robots(spark),
         "default_per_host": GATE_WORLD["default_per_host"],
     }
+
+
+def build_zipf_frontier(
+    spark: SparkSession,
+    n_rows: int = 3_000_000,
+    n_hosts: int = 1000,
+    hot_frac: float = 0.35,
+) -> DataFrame:
+    """Synthetic hot-host frontier for the skew harness: ``hot_frac``
+    of all candidate URLs live on host 0 (a zipf-head web in one
+    knob — Common-Crawl frontiers routinely put tens of percent of
+    the queue on a handful of megasites), the rest spread over a
+    power-law-ish tail of ``n_hosts - 1`` hosts. Deterministic pure
+    column math; schema matches the engine's pending table
+    (url, url_hash, host, depth, priority)."""
+    from openalex_collaboration_crawler_spark.functions.url import (
+        url_hash_canonical,
+        url_host,
+    )
+
+    i = F.col("id")
+    u = (i * 2654435761 % 1_000_000) / 1_000_000.0
+    # tail host via a square transform: low tail ids get more mass
+    tail = (F.floor(F.pow((i * 40503 % 65536) / 65536.0, F.lit(2.0)) * (n_hosts - 1)) + 1).cast("int")
+    host_id = F.when(u < F.lit(hot_frac), F.lit(0)).otherwise(tail)
+    url = F.concat(
+        F.lit("http://host"), host_id.cast("string"), F.lit(".example.org/page/"), i.cast("string")
+    )
+    return spark.range(n_rows).select(
+        url.alias("url"),
+        url_hash_canonical(url).alias("url_hash"),
+        url_host(url).alias("host"),
+        (i % 4).cast("int").alias("depth"),
+        (i % 3).cast("int").alias("priority"),
+    )

@@ -257,6 +257,16 @@ class CrawlEngine:
     # spark.sql.shuffle.partitions width (a multiple of the executor
     # count → full waves); AQE's join re-planning stays ON.
     disable_partition_coalescing: bool = True
+    # raw-string dedup BEFORE canonicalization (an extra groupBy
+    # shuffle on the raw URL) pays off when the canonicalizer is
+    # expensive relative to shuffling one batch's raw links; with the
+    # r4 lambda-bound canonicalizer (~1.2 µs/URL) the trade is close —
+    # False canonicalizes every raw occurrence (array_distinct still
+    # collapses within-page repeats) and goes straight to ONE
+    # canonical-level groupBy: one shuffle fewer per batch. Both paths
+    # are exactly equivalent (min(depth) is associative); parity is
+    # pinned by tests/test_crawl_parity.py.
+    raw_prededup: bool = True
     _pages_prepared: DataFrame | None = field(default=None, repr=False)
     _min_cap: int | None = field(default=None, repr=False)
     _overlap: dict | None = field(default=None, repr=False)
@@ -811,19 +821,23 @@ class CrawlEngine:
         # but not PENDING (they can never be fetched) — observably
         # identical to filtering at select time, and it keeps the
         # pending_rows counter exact.
-        # RAW-string dedup BEFORE canonicalization: outlinks repeat
-        # heavily within a batch (popular pages are linked from many
-        # fetched pages), and the canonicalizer is ~8 regex ops per
-        # URL — collapsing duplicates first (cheap string-equality
-        # hash-agg with map-side combine) cuts the regex work by the
-        # batch's link-duplication factor. min(depth) is associative,
-        # so raw-level min then canonical-level min is identical to
-        # canonicalizing every occurrence.
+        # RAW-string dedup BEFORE canonicalization (raw_prededup=True):
+        # outlinks repeat heavily within a batch (popular pages are
+        # linked from many fetched pages), so collapsing duplicates
+        # first (string-equality hash-agg with map-side combine) cuts
+        # the regex work by the batch's link-duplication factor — at
+        # the cost of a second shuffle on the raw strings. With
+        # raw_prededup=False the canonicalizer runs on every raw
+        # occurrence and the dedup is ONE canonical-level groupBy.
+        # min(depth) is associative, so both orders are exactly
+        # equivalent (parity: tests/test_crawl_parity.py).
+        exploded = res.select(
+            F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth")
+        )
+        if self.raw_prededup:
+            exploded = exploded.groupBy("raw_url").agg(F.min("pdepth").alias("pdepth"))
         discovered = (
-            res.select(F.explode("links").alias("raw_url"), F.col("depth").alias("pdepth"))
-            .groupBy("raw_url")
-            .agg(F.min("pdepth").alias("pdepth"))
-            .select(
+            exploded.select(
                 canonicalize_url("raw_url").alias("url"),
                 (F.col("pdepth") + 1).cast("int").alias("depth"),
             )
@@ -961,19 +975,14 @@ class CrawlEngine:
                     k=self.bloom_k,
                 ).write.mode("overwrite").parquet(self._path("bloom", f"v{batch_id}"))
 
-        def j_part_metrics():
-            self._write_partition_metrics(res, batch_id)
-
         # ---- phase 2: the pending write MATERIALIZES `marked` (and its
         # CollectMetrics node supplies the dedup counters — the serial
         # collect round-trip this replaces was part of the measured
         # per-batch floor). It runs ALONE: it is the only write the
         # next batch's select phase reads. j_seen/j_bloom wait so they
         # hit a materialized cache instead of racing to re-execute the
-        # dedup subtree (~3× waste, measured); the lineage-metrics
-        # write (reads the durable results parquet, nothing reads it
-        # back in the loop) is deferred with them into the next
-        # batch's parse window.
+        # dedup subtree (~3× waste, measured). Per-partition lineage is
+        # merge-on-read (metrics_table), not a per-batch write.
         timed(j_pending)()
         m_dedup = obs_dedup.get
         n_discovered = int(m_dedup["nd"])
@@ -1000,16 +1009,14 @@ class CrawlEngine:
             "done": pending_rows == 0,
         }
         batch.unpersist()
-        # ---- phase 3: seen/bloom state + lineage-metrics writes. The
-        # loop itself never reads them again this batch (seen/bloom
-        # feed the NEXT batch's dedup phase; lineage feeds only the
-        # metrics_table accessor), so by default they are deferred into
-        # the next batch's select+parse window (overlap_state_writes);
-        # the final batch (and overlap-off mode) completes them
+        # ---- phase 3: seen/bloom state writes. The loop itself never
+        # reads them again this batch (they feed the NEXT batch's
+        # dedup phase), so by default they are deferred into the next
+        # batch's select+parse window (overlap_state_writes); the
+        # final batch (and overlap-off mode) completes them
         # synchronously, and every accessor flushes first.
         futures = [
-            self._ensure_pool().submit(timed(j))
-            for j in (j_seen, j_bloom, j_part_metrics)
+            self._ensure_pool().submit(timed(j)) for j in (j_seen, j_bloom)
         ]
         release = [marked] + ([bloom] if bloom is not None else [])
         self._overlap = {
@@ -1029,13 +1036,17 @@ class CrawlEngine:
             )
         return metrics
 
-    def _write_partition_metrics(self, parsed: DataFrame, batch_id: int) -> None:
-        """Per-partition lineage: which task partition produced how many
-        fetches/parses (north rule 'per-partition lineage and
-        fetch/dedup/parse metrics')."""
-        per_part = (
+    def _partition_metrics(self, parsed: DataFrame) -> DataFrame:
+        """Per-partition lineage: which scan partition holds how many
+        fetches/parses per batch (north rule 'per-partition lineage
+        and fetch/dedup/parse metrics'). Computed MERGE-ON-READ from
+        the durable results parquet — the per-batch eager write this
+        replaces was one extra action plus a full results re-scan in
+        every batch's deferred-write window (measured part of the
+        per-batch job floor), for a table nothing in the loop reads."""
+        return (
             parsed.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
+            .groupBy("batch_id", "partition_id")
             .agg(
                 F.count("*").alias("fetched"),
                 F.sum(F.col("parse_ok").cast("int")).alias("parsed_ok"),
@@ -1043,10 +1054,6 @@ class CrawlEngine:
                 F.min("url_hash").alias("min_url_hash"),
                 F.max("url_hash").alias("max_url_hash"),
             )
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        per_part.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "metrics", f"batch={batch_id}")
         )
 
     # ------------------------------------------------------------ the loop
@@ -1080,10 +1087,9 @@ class CrawlEngine:
         )
 
     def metrics_table(self) -> DataFrame:
-        self._flush_overlap()
-        return self.spark.read.option("basePath", os.path.join(self.state_dir, "metrics")).parquet(
-            os.path.join(self.state_dir, "metrics", "batch=*")
-        )
+        """Per-(batch, scan-partition) lineage, computed on demand from
+        the results store (see :meth:`_partition_metrics`)."""
+        return self._partition_metrics(self.results())
 
     def crawl_order(self) -> list[tuple[int, int, str]]:
         """[(batch_id, seq, url)] — the engine's total crawl order."""

@@ -76,6 +76,8 @@ def select_batch(
     default_per_host: int = 8,
     est_rows: int | None = None,
     skip_caps: bool = False,
+    salt_caps: bool | None = None,
+    n_salts: int = 64,
 ) -> DataFrame:
     """Pick this micro-batch's fetch set, deterministically.
 
@@ -98,14 +100,42 @@ def select_batch(
     exactly the skew axis — so on a frontier where one hot host owns
     30% of the rows it is a single-task sort that scales with DATA
     but not with CORES; eliding it when the budget provably cannot
-    bind removes that serial fraction."""
+    bind removes that serial fraction.
+
+    ``salt_caps`` (None = auto: engage when the candidate bound
+    exceeds SMALL_BATCH_ROWS, the same switch as the ranking
+    strategy) runs the capping as a TWO-PHASE salted top-N: phase 1
+    ranks within (host, url_hash % n_salts) — a hot host's rows
+    spread over ``n_salts`` tasks — keeping each slice's top-``cap``;
+    phase 2 is the exact per-host window over the survivors, whose
+    per-host partition is now ≤ n_salts × cap rows REGARDLESS of how
+    skewed the frontier is. Result-identical to the single window
+    (any row of a host's true top-cap is in the top-cap of its own
+    salt slice; tests/test_skew.py asserts seq-level equality on a
+    zipf frontier) — the north rule's "salted repartitioning to
+    defuse hot-host skew" applied to the crawl path itself."""
     cand = pending if robots is None else robots_filter(pending, robots)
     if skip_caps:
         per_host = cand
     else:
+        if salt_caps is None:
+            salt_caps = est_rows is not None and est_rows > SMALL_BATCH_ROWS
         cand = cand.join(F.broadcast(politeness), "host", "left").withColumn(
             "__cap", F.coalesce(F.col("max_per_batch"), F.lit(default_per_host))
         )
+        if salt_caps:
+            # phase 1: per-(host, salt) top-cap — bounded tasks even
+            # when one host owns most of the frontier. url_hash is
+            # non-negative, so pmod is a pure monotone-free function
+            # of row values (order-determinism unaffected: phase 2
+            # re-ranks the survivors in the exact frontier order).
+            w_salt = Window.partitionBy("host", "__salt").orderBy(*frontier_order())
+            cand = (
+                cand.withColumn("__salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
+                .withColumn("__rn", F.row_number().over(w_salt))
+                .where(F.col("__rn") <= F.col("__cap"))
+                .drop("__rn", "__salt")
+            )
         w_host = Window.partitionBy("host").orderBy(*frontier_order())
         per_host = (
             cand.withColumn("__rn", F.row_number().over(w_host))

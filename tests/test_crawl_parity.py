@@ -341,3 +341,38 @@ def test_overlap_interrupted_run_resumes(spark, world, oracle_run):
     eng2.run(max_batches=50)
     assert eng2.crawl_order() == oracle_run.order
     assert eng2.seen_hashes() == oracle_run.seen
+
+
+def test_no_raw_prededup_same_result(spark, world, oracle_run):
+    """raw_prededup=False (canonicalize every raw occurrence, single
+    canonical-level groupBy — one shuffle fewer per batch) is a pure
+    plan change: crawl order and seen set must be identical."""
+    eng = _mk_engine(spark, world, "engine_noprededup", raw_prededup=False)
+    eng.init_from_seeds(world["seeds"])
+    eng.run(max_batches=50)
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_salted_caps_path_same_result(spark, world, oracle_run, monkeypatch):
+    """Force the two-phase SALTED politeness capping (the hot-host
+    skew path; engages automatically above SMALL_BATCH_ROWS) through
+    the whole crawl loop — capping strategy must be output-invariant."""
+    from openalex_collaboration_crawler_spark.streaming import politeness as pol
+
+    monkeypatch.setattr(pol, "SMALL_BATCH_ROWS", -1)
+    eng = _mk_engine(spark, world, "engine_saltedcaps")
+    eng.init_from_seeds(world["seeds"])
+    eng.run(max_batches=50)
+    assert eng.crawl_order() == oracle_run.order
+    assert eng.seen_hashes() == oracle_run.seen
+
+
+def test_metrics_table_merge_on_read(spark, world, engine_run):
+    """Per-partition lineage is derived on demand from the results
+    store; its per-batch totals must agree with the batch metrics."""
+    eng, metrics = engine_run
+    mt = eng.metrics_table().groupBy("batch_id").sum("fetched").collect()
+    got = {r["batch_id"]: r["sum(fetched)"] for r in mt}
+    want = {m["batch"]: m["fetched"] for m in metrics if m.get("fetched")}
+    assert got == want
