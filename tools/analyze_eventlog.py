@@ -72,6 +72,7 @@ def main() -> None:
     wall = (end - app_start) / 1000.0
     print(f"wall {wall:.1f}s  task-busy {busy_time:.0f} core-s  "
           f"avg busy cores {busy_time / wall:.1f}  zero-task wall {idle0:.1f}s")
+    print(f"jobs {len(jobs)}  stages {len(stages)}")
 
     # top jobs by wall
     jl = sorted(jobs.items(), key=lambda kv: kv[1].get("end", 0) - kv[1]["start"], reverse=True)

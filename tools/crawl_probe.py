@@ -26,15 +26,21 @@ def main() -> None:
     pages_path = sys.argv[2]
     state_dir = sys.argv[3]
 
-    spark = (
+    builder = (
         SparkSession.builder.appName(f"crawl_probe_{cores}")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    evlog = os.environ.get("SPARK_GRAFT_EVLOG")  # dir → event log for job census
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from pyspark.sql import functions as _F
@@ -60,6 +66,9 @@ def main() -> None:
         robots=None,
         default_per_host=(1 << 31) - 1,
         bloom_parts=16,
+        # A/B knob: SPARK_GRAFT_RAW_PREDEDUP=0 canonicalizes every raw
+        # occurrence and skips the raw-level dedup shuffle
+        raw_prededup=os.environ.get("SPARK_GRAFT_RAW_PREDEDUP", "1") != "0",
     )
     eng.init_from_seeds(build_seeds(spark, n_pages=n_pages, n_seeds=n_seeds))
     t0 = time.time()
