@@ -45,15 +45,21 @@ def build_zip() -> str:
 def ensure_pages() -> str:
     pages_path = os.path.join(WORK, f"pages_{PAGES}_x{PAYLOAD_REPEAT}")
     if not os.path.isdir(pages_path):
-        sys.path.insert(0, REPO)
-        from openalex_collaboration_crawler_spark.session import get_spark
-        from openalex_collaboration_crawler_spark.sources.pages import build_pages
-
-        spark = get_spark(app_name="build_pages")
-        build_pages(spark, n_pages=PAGES, payload_repeat=PAYLOAD_REPEAT).write.mode(
-            "overwrite"
-        ).parquet(pages_path)
-        spark.stop()
+        # Build in a SUBPROCESS: an in-process builder session leaves a
+        # leaked 48g-heap py4j JVM behind for the rest of the harness
+        # (spark.stop() stops the context, not the gateway JVM), and its
+        # GC bursts contaminate every measured leg (observed r5: the
+        # leaked JVM held ~50% CPU for 50 min and the hi-level crawl
+        # spread hit 2.1x; killing it restored calm).
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from openalex_collaboration_crawler_spark.session import get_spark\n"
+            "from openalex_collaboration_crawler_spark.sources.pages import build_pages\n"
+            "spark = get_spark(app_name='build_pages')\n"
+            "build_pages(spark, n_pages=%d, payload_repeat=%d).write.mode('overwrite').parquet(%r)\n"
+            "spark.stop()\n" % (REPO, PAGES, PAYLOAD_REPEAT, pages_path)
+        )
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
     return pages_path
 
 
