@@ -257,6 +257,20 @@ class CrawlEngine:
     # spark.sql.shuffle.partitions width (a multiple of the executor
     # count → full waves); AQE's join re-planning stays ON.
     disable_partition_coalescing: bool = True
+    # Disable AQE entirely inside the crawl loop (restored on exit).
+    # AQE materializes every exchange as its own job with a driver
+    # re-plan between stages; the crawl's per-batch stages are
+    # sub-second at bench scale, so those serial driver gaps dominate
+    # the per-batch floor — measured r5 (local[16], 6 batches,
+    # identical box window): jobs 102 → 46, zero-task driver wall
+    # 83.6 s → 35.2 s, crawl wall −14%. The loop loses nothing AQE
+    # provides: partition counts are pinned (coalescing was already
+    # off), join strategies are chosen explicitly from provable
+    # bounds (survivor_broadcast_limit / batch-hash broadcast), and
+    # hot-host skew is handled by explicit salting
+    # (politeness.select_batch). On a real cluster whose crawl
+    # stages run minutes, re-enabling AQE is one constructor flag.
+    disable_adaptive: bool = True
     # raw-string dedup BEFORE canonicalization (an extra groupBy
     # shuffle on the raw URL) pays off when the canonicalizer is
     # expensive relative to shuffling one batch's raw links; with the
@@ -271,22 +285,33 @@ class CrawlEngine:
     _min_cap: int | None = field(default=None, repr=False)
     _overlap: dict | None = field(default=None, repr=False)
     _pool: object | None = field(default=None, repr=False)
-    _saved_coalesce: str | None = field(default=None, repr=False)
+    _saved_conf: dict | None = field(default=None, repr=False)
 
     _COALESCE_KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+    _ADAPTIVE_KEY = "spark.sql.adaptive.enabled"
 
     def _enter_crawl_conf(self) -> None:
-        if self.disable_partition_coalescing and self._saved_coalesce is None:
-            self._saved_coalesce = self.spark.conf.get(self._COALESCE_KEY, "true")
-            self.spark.conf.set(self._COALESCE_KEY, "false")
+        if self._saved_conf is not None:
+            return
+        want = {}
+        if self.disable_adaptive:
+            want[self._ADAPTIVE_KEY] = "false"
+        elif self.disable_partition_coalescing:
+            want[self._COALESCE_KEY] = "false"
+        saved = {}
+        for k, v in want.items():
+            saved[k] = self.spark.conf.get(k, "true")
+            self.spark.conf.set(k, v)
+        self._saved_conf = saved
 
     def _exit_crawl_conf(self) -> None:
-        """Restore the session's coalescing conf — called from run()'s
-        end and close(); interleaving run_batch() with other queries on
-        the same session leaves the conf off until then (documented)."""
-        if self._saved_coalesce is not None:
-            self.spark.conf.set(self._COALESCE_KEY, self._saved_coalesce)
-            self._saved_coalesce = None
+        """Restore the session's AQE confs — called from run()'s end
+        and close(); interleaving run_batch() with other queries on
+        the same session leaves them off until then (documented)."""
+        if self._saved_conf is not None:
+            for k, v in self._saved_conf.items():
+                self.spark.conf.set(k, v)
+            self._saved_conf = None
 
     def _ensure_pool(self):
         from concurrent.futures import ThreadPoolExecutor

@@ -99,6 +99,37 @@ def main() -> None:
             f"busy={tt / w if w > 0 else 0:5.1f}  {s['name']}"
         )
 
+    # task-time skew per multi-task stage: max/median task duration.
+    # This is the hot-host evidence metric (north rule: "salted
+    # repartitioning to defuse hot-host skew") — a stage whose max
+    # task runs ≫ its median is serialized on one skewed partition.
+    skewed = []
+    for sid, ts in tasks.items():
+        if len(ts) < 4:
+            continue  # single/few-task stages have no skew story
+        durs = sorted((b - a) / 1000.0 for a, b in ts)
+        med = durs[len(durs) // 2]
+        if med <= 0.005:
+            continue  # sub-5ms medians are all scheduler noise
+        skewed.append((durs[-1] / med, durs[-1], med, len(durs), sid))
+    skewed.sort(reverse=True)
+    if skewed:
+        worst = skewed[0][0]
+        agg = max(
+            (r for r in skewed if stages.get(r[4], {}).get("ntasks", 0) >= 16),
+            default=None,
+        )
+        print("\ntask skew (max/median task sec) — worst multi-task stages:")
+        for ratio, mx, med, n, sid in skewed[:10]:
+            name = stages.get(sid, {}).get("name", "?")
+            print(
+                f"  stage {sid:>3}  ratio={ratio:5.2f}  max={mx:6.3f}s  "
+                f"median={med:6.3f}s  ntasks={n:>4}  {name}"
+            )
+        print(
+            f"\nSKEW_SUMMARY {json.dumps({'worst_ratio': round(worst, 2), 'worst_wide_ratio': round(agg[0], 2) if agg else None})}"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -69,6 +69,9 @@ def main() -> None:
         # A/B knob: SPARK_GRAFT_RAW_PREDEDUP=0 canonicalizes every raw
         # occurrence and skips the raw-level dedup shuffle
         raw_prededup=os.environ.get("SPARK_GRAFT_RAW_PREDEDUP", "1") != "0",
+        # A/B knob: SPARK_GRAFT_CRAWL_AQE=1 leaves AQE on inside the
+        # crawl loop (engine default is off — see frontier.py)
+        disable_adaptive=os.environ.get("SPARK_GRAFT_CRAWL_AQE", "0") != "1",
     )
     eng.init_from_seeds(build_seeds(spark, n_pages=n_pages, n_seeds=n_seeds))
     t0 = time.time()
