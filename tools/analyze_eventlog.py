@@ -10,13 +10,28 @@ import sys
 from collections import defaultdict
 
 
+def _iter_lines(path):
+    """Accept a flat event-log file OR a directory (Spark 4 rolling
+    layout: eventlog_v2_<appid>/events_*); uncompressed JSON only."""
+    import os
+
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
+            for f in sorted(names):
+                if f.startswith("appstatus_") or f.endswith(".zstd"):
+                    continue
+                yield from open(os.path.join(root, f))
+    else:
+        yield from open(path)
+
+
 def main() -> None:
     path = sys.argv[1]
     stages = {}  # (stageId, attempt) -> dict
     tasks = defaultdict(list)  # stageId -> [(launch, finish)]
     jobs = {}
     app_start = app_end = None
-    for line in open(path):
+    for line in _iter_lines(path):
         try:
             ev = json.loads(line)
         except ValueError:

@@ -33,7 +33,14 @@ def task_skew(evlog_dir: str, windows: dict[str, tuple[float, float]]) -> dict:
     wall-clock window, the heaviest stage's max/median task ms."""
     import statistics
 
-    files = [os.path.join(evlog_dir, f) for f in os.listdir(evlog_dir)]
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<appid>/
+    # with events_* part files inside); walk instead of listdir.
+    files = [
+        os.path.join(root, f)
+        for root, _, names in os.walk(evlog_dir)
+        for f in names
+        if not f.startswith("appstatus_")
+    ]
     stage_tasks: dict[int, list[tuple[int, int]]] = {}
     for path in files:
         for line in open(path):
@@ -85,6 +92,9 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVLOG)
+        # plain single-file JSON logs so task_skew can read them directly
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         # AQE's own skew mitigation OFF so the measurement isolates the

@@ -37,8 +37,13 @@ def main() -> None:
     evlog = os.environ.get("SPARK_GRAFT_EVLOG")  # dir → event log for job census
     if evlog:
         os.makedirs(evlog, exist_ok=True)
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", evlog
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evlog)
+            # plain single-file JSON so tools/analyze_eventlog.py can
+            # read it without a python zstd codec
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
