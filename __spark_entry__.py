@@ -35,9 +35,18 @@ from openalex_collaboration_crawler_spark.operators.multimodal import (
 )
 from openalex_collaboration_crawler_spark.sources.tables import (
     COLLAB_MODEL_SQL,
+    collab_grouped,
     collab_model,
     load_table,
 )
+
+
+def _pairwise(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Shared pairwise-edge builder for every edge-chain query (r6):
+    the fused grouped source (one exchange, see collab_grouped) feeding
+    the single-pipeline pair Generate (see pairwise_edges_grouped).
+    Identical output multiset to ED.pairwise_edges(collab_model(...))."""
+    return ED.pairwise_edges_grouped(collab_grouped(spark, sf_dir))
 from openalex_collaboration_crawler_spark.streaming.politeness import select_batch
 
 SF001 = "/root/testdata/sf0.001"
@@ -85,15 +94,15 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pairwise_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ED.pairwise_edges(collab_model(spark, sf_dir))
+    return _pairwise(spark, sf_dir)
 
 
 def _q_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir)))
+    return ED.weighted_edges(_pairwise(spark, sf_dir))
 
 
 def _q_interval_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = ED.pairwise_edges(collab_model(spark, sf_dir))
+    edges = _pairwise(spark, sf_dir)
     return (
         ED.route_to_intervals(edges, INTERVALS)
         .groupBy("interval")
@@ -102,11 +111,11 @@ def _q_interval_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AN.degree_stats(ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))))
+    return AN.degree_stats(ED.weighted_edges(_pairwise(spark, sf_dir)))
 
 
 def _q_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AN.ccdf(ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))))
+    return AN.ccdf(ED.weighted_edges(_pairwise(spark, sf_dir)))
 
 
 def _q_topk_parts_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +459,7 @@ GROUP BY 1, 2
 
 
 def _q_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir)))
+    w = ED.weighted_edges(_pairwise(spark, sf_dir))
     return GS.disparity_backbone(w, threshold=0.25)
 
 
@@ -463,7 +472,7 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     included (VERDICT r4 What's-wrong #1); both algorithms keep a full
     rows+schema+hash oracle — the SQL mirrors the union."""
     # sparse slice: only strong edges so the graph actually fragments
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+    w = ED.weighted_edges(_pairwise(spark, sf_dir)).where(
         F.col("weight") >= 3
     )
     prop = GS.connected_components(w).withColumn("algo", F.lit("prop"))
@@ -493,7 +502,7 @@ def _q_structural_stats_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scripts 02/04 second row: structural stats of the LARGEST
     connected component (reference compute_structural_statistics
     run(): full-graph row + largest-CC row)."""
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+    w = ED.weighted_edges(_pairwise(spark, sf_dir)).where(
         F.col("weight") >= 3
     )
     return GS.structural_stats_largest_cc(w)
@@ -505,7 +514,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+    w = ED.weighted_edges(_pairwise(spark, sf_dir)).where(
         F.col("weight") >= 2
     )
     return GS.transitivity(w)
@@ -774,7 +783,7 @@ FROM ({COLLAB_MODEL_SQL}) c JOIN supplier s ON c.author = s.s_suppkey
 
 
 def _q_community_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir)))
+    w = ED.weighted_edges(_pairwise(spark, sf_dir))
     return GS.community_metrics(w, _nation_membership(spark, sf_dir))
 
 
@@ -868,7 +877,7 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (computed by the oracle-green community_metrics operator — a
     broken solve empties the result and the row-count check fails).
     Output: (node, community)."""
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+    w = ED.weighted_edges(_pairwise(spark, sf_dir)).where(
         F.col("weight") >= 3
     )
     # pin the solve: membership feeds FIVE plan branches (metrics'
@@ -982,11 +991,11 @@ def _q_topic_normalize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_structural_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return GS.structural_stats(ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))))
+    return GS.structural_stats(ED.weighted_edges(_pairwise(spark, sf_dir)))
 
 
 def _q_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+    w = ED.weighted_edges(_pairwise(spark, sf_dir)).where(
         F.col("weight") >= 3
     )
     return GS.null_model_stats(w, n_runs=8, seed=42)
@@ -998,7 +1007,7 @@ def _q_null_model_degree_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     column math end-to-end → full DuckDB oracle even for the scale
     path; distributional agreement with the exact pair sampler is
     pinned in tests/test_null_model_degree_class.py."""
-    w = ED.weighted_edges(ED.pairwise_edges(collab_model(spark, sf_dir))).where(
+    w = ED.weighted_edges(_pairwise(spark, sf_dir)).where(
         F.col("weight") >= 3
     )
     return GS.null_model_stats_degree_class(w, n_runs=8, seed=42)
@@ -1034,7 +1043,7 @@ def _work_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _interval_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ED.pairwise_edges(collab_model(spark, sf_dir)).select(
+    return _pairwise(spark, sf_dir).select(
         F.col("year").alias("interval"), "work_id", "a1", "a2"
     )
 
@@ -1339,4 +1348,4 @@ GROUP BY 1, 2
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: weighted collaboration graph (reference openalex_graph
     main+weighted modes fused) on sf0.001."""
-    return ED.weighted_edges(ED.pairwise_edges(collab_model(spark, SF001)))
+    return ED.weighted_edges(_pairwise(spark, SF001))

@@ -20,8 +20,15 @@ def degrees(edges: DataFrame, a_col: str = "author1", b_col: str = "author2") ->
     """Undirected degree per node from a weighted-edge table; self-loops
     count once (networkx semantics in compute_structural_statistics.py:7-30).
     """
-    ends = edges.select(F.col(a_col).alias("node")).unionAll(
-        edges.where(F.col(a_col) != F.col(b_col)).select(F.col(b_col).alias("node"))
+    # one Generate instead of a plan-level unionAll: Catalyst does not
+    # deduplicate common subplans, so the union form planned+executed
+    # the (expensive) edge subtree twice (r6, guide §2.4)
+    ends = edges.select(
+        F.explode(
+            F.when(
+                F.col(a_col) != F.col(b_col), F.array(F.col(a_col), F.col(b_col))
+            ).otherwise(F.array(F.col(a_col)))
+        ).alias("node")
     )
     return ends.groupBy("node").agg(F.count("*").alias("degree"))
 

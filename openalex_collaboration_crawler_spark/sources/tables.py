@@ -58,6 +58,32 @@ def collab_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collab_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collab_model pre-grouped to (work_id, __as, year) — the fused
+    edge-chain source (r6).
+
+    ``li.distinct()`` followed by ``groupBy(work_id)`` costs two
+    exchanges (hash on (orderkey, suppkey), then hash on orderkey);
+    ``collect_set`` computes the same per-work distinct author set in
+    ONE exchange with map-side partial aggregation. The year joins on
+    after the group from the broadcast-sized orders table (o_orderkey
+    is unique, so one year per work — identical to the min(year) the
+    row-level path carries). Same author sets, same years, provably
+    the same pair multiset downstream."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("year")
+    )
+    grouped = li.groupBy(F.col("l_orderkey").alias("work_id")).agg(
+        F.collect_set("l_suppkey").alias("__as")
+    )
+    return grouped.join(
+        F.broadcast(orders), grouped.work_id == orders.o_orderkey
+    ).select("work_id", "__as", "year")
+
+
 COLLAB_MODEL_SQL = """
 SELECT DISTINCT l.l_orderkey AS work_id,
        l.l_suppkey AS author,
