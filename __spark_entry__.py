@@ -216,13 +216,30 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openalex_collaboration_crawler_spark.operators import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    # staged projections (r6): split/lower/trim the text ONCE and derive
+    # every word-level stat from the shared array; the flat form
+    # re-evaluated the split ~8× (n_tok, n_stop, 5 lang filters, plus
+    # quality's internal recomputes). Identical expressions over
+    # identical intermediates — same values, ~1/8th the regex work and
+    # a much smaller codegen unit.
+    staged = docs.select("doc_id", "text", TX.words("text").alias("__w")).select(
         "doc_id",
-        TX.token_count("text").alias("n_tok"),
+        "text",
+        "__w",
+        F.size("__w").cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("__nch"),
         TX.punct_count("text").alias("n_punct"),
-        TX.stopword_count("text").alias("n_stop"),
-        TX.quality_score("text").alias("quality"),
-        TX.lang_id("text").alias("lang_pred"),
+        TX.stopword_count_from_words(F.col("__w")).alias("n_stop"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tok",
+        "n_punct",
+        "n_stop",
+        TX.quality_from_counts(
+            F.col("n_tok"), F.col("__nch"), F.col("n_punct"), F.col("n_stop")
+        ).alias("quality"),
+        TX.lang_id_from_words(F.col("__w")).alias("lang_pred"),
         TX.fingerprint("text").alias("fp"),
     )
 

@@ -67,9 +67,17 @@ def punct_count_sql(expr: str) -> str:
     return f"CAST(length({expr}) - length(regexp_replace({expr}, '{rx}', '', 'g')) AS BIGINT)"
 
 
-def stopword_count(col: Column | str) -> Column:
+def stopword_count_from_words(wcol: Column) -> Column:
+    """Stopword count over a PRE-SPLIT word array (r6): lets callers
+    that need several word-level stats split the text once instead of
+    re-running trim/lower/split per stat (guide §2.3 project-early —
+    the split is the expensive part of every word-level expression)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    return F.size(F.filter(words(col), lambda x: F.array_contains(sw, x))).cast("long")
+    return F.size(F.filter(wcol, lambda x: F.array_contains(sw, x))).cast("long")
+
+
+def stopword_count(col: Column | str) -> Column:
+    return stopword_count_from_words(words(col))
 
 
 def stopword_count_sql(expr: str) -> str:
@@ -84,10 +92,17 @@ def quality_score(col: Column | str) -> Column:
     single final double division so Spark and DuckDB agree bit-for-bit.
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
-    n_chars = F.length(c).cast("long")
-    n_punct = punct_count(c)
-    n_stop = stopword_count(c)
+    return quality_from_counts(
+        token_count(c), F.length(c).cast("long"), punct_count(c), stopword_count(c)
+    )
+
+
+def quality_from_counts(
+    n_tok: Column, n_chars: Column, n_punct: Column, n_stop: Column
+) -> Column:
+    """Quality score from pre-computed counts (r6) — same integer/bool
+    math as :func:`quality_score`, shared with callers that already
+    carry the counts as columns."""
     len_ok = (n_tok >= 5) & (n_tok <= 100000)
     stop_ok = (n_stop * F.lit(5)) >= n_tok  # ≥20% stopwords
     punct_ok = (n_punct * F.lit(4)) <= n_chars  # ≤25% punctuation
@@ -114,13 +129,16 @@ def quality_score_sql(expr: str) -> str:
     return f"(CAST({score} AS DOUBLE) / 4.0)"
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    w = words(col)
+def lang_scores_from_words(w: Column) -> dict[str, Column]:
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x))).cast("long")
     return out
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return lang_scores_from_words(words(col))
 
 
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
@@ -130,7 +148,12 @@ def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     Flat encoding (score*8 + rank) + one ``greatest`` — a nested
     when-chain would duplicate the score subtrees exponentially and
     blow up codegen compile time."""
-    scores = lang_scores(col)
+    return lang_id_from_words(words(col), min_hits=min_hits)
+
+
+def lang_id_from_words(wcol: Column, min_hits: int = 1) -> Column:
+    """:func:`lang_id` over a pre-split word array (r6)."""
+    scores = lang_scores_from_words(wcol)
     langs = sorted(scores)  # asc; earlier language wins ties
     # rank: alphabetically-first language gets the HIGHEST rank so that
     # greatest() breaks score ties toward it

@@ -32,6 +32,24 @@ from openalex_collaboration_crawler_spark.functions.hashing import (
 
 _URL_RX = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?"
 
+# Column-expression memo for string-named inputs (r6): building the
+# canonicalizer is ~100 py4j round-trips (~0.2 s of driver wall) — the
+# crawl loop rebuilt it EVERY batch even though the expression tree is
+# a pure function of the input column name. Column objects are
+# immutable and reusable across plans; the JVM gateway outlives
+# SparkSession cycles within a process, so a process-level cache is
+# safe. Column-typed inputs (dynamic exprs) bypass the cache.
+_COL_CACHE: dict = {}
+
+
+def _cached(kind: str, name: str, build) -> Column:
+    key = (kind, name)
+    col = _COL_CACHE.get(key)
+    if col is None:
+        col = build()
+        _COL_CACHE[key] = col
+    return col
+
 
 def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
     scheme = F.lower(F.regexp_extract(url, _URL_RX, 1))
@@ -59,7 +77,9 @@ def canonicalize_url(col: Column | str) -> Column:
     rlike guard is also folded away — group 1 is non-empty iff the
     regex matches). Semantics are bit-identical to the naive form;
     the DuckDB mirror (:func:`canonicalize_url_sql`) is unchanged."""
-    url = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return _cached("canon", col, lambda: canonicalize_url(F.col(col)))
+    url = col
     scheme, authority, path, query = _parts(url)
     level0 = F.array(
         F.struct(
@@ -127,8 +147,9 @@ def canonicalize_url_sql(expr: str) -> str:
 
 def url_host(col: Column | str) -> Column:
     """Lowercased host (port stripped) — the politeness-scheduler key."""
-    url = F.col(col) if isinstance(col, str) else col
-    _, authority, _, _ = _parts(url)
+    if isinstance(col, str):
+        return _cached("host", col, lambda: url_host(F.col(col)))
+    _, authority, _, _ = _parts(col)
     return F.regexp_replace(authority, ":[0-9]+$", "")
 
 

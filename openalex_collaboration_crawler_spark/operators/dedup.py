@@ -94,14 +94,49 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles per doc: (id, shingle).
 
+    Per-doc dedup happens ARRAY-SIDE (``array_distinct`` before the
+    explode) instead of a post-explode ``distinct()`` — same row set,
+    but no shuffle of raw shingle strings (r6, guide §2.4: the old
+    plan's only exchange existed to dedup within a key that is already
+    colocated on one row).
+
     The source is parallelism-guarded: a single-file corpus would
     otherwise run ALL shingling+hashing in one scan task."""
     from openalex_collaboration_crawler_spark.operators import ensure_parallelism
 
     docs = ensure_parallelism(docs.select(id_col, text_col))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+
+
+def doc_shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    salt: str = "",
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, harr): per-doc array of 60-bit portable shingle hashes —
+    the zero-shuffle base for signature operators (r6).
+
+    MinHash and SimHash consume shingles only through per-doc
+    commutative reductions (min / signed bit counts), so the whole
+    signature can be computed row-side from this array without ever
+    exploding: no exchange, no shuffled shingle strings. ``distinct``
+    mirrors doc_shingles' per-doc dedup (required for SimHash's
+    multiplicity-sensitive sums; MinHash's min is dup-invariant)."""
+    from openalex_collaboration_crawler_spark.operators import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(id_col, text_col))
+    arr = shingles(text_col, n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(arr, lambda s: portable_hash64(s, salt=salt)).alias("harr"),
     )
 
 
@@ -217,16 +252,19 @@ def minhash_signatures(
 
     ONE md5 per shingle; the P permutations are overflow-free affine
     maps of that base hash (functions/hashing.perm_hash) — ~P× less
-    hashing than salted-md5-per-perm. One explode + one groupBy(id);
-    partial aggregation collapses the exploded shingles before the
-    shuffle, so wire volume is |docs| × P longs regardless of
-    document length.
+    hashing than salted-md5-per-perm. ZERO shuffle (r6): min over a
+    doc's shingles is a per-row array reduction, so the signature is
+    computed inside the scan stage via array_min over the per-doc hash
+    array — the old explode + groupBy(id) exchange shuffled |docs| × P
+    longs to recompute a value each row already determines. min is
+    duplicate-invariant, so skipping the per-doc distinct is exact.
     """
-    sh = doc_shingles(docs, text_col, id_col, n).withColumn(
-        "base", portable_hash64(F.col("shingle"))
-    )
-    aggs = [F.min(perm_hash(F.col("base"), p)).alias(f"mh_{p}") for p in range(N_PERMS)]
-    return sh.groupBy("id").agg(*aggs)
+    sh = doc_shingle_hashes(docs, text_col, id_col, n, distinct=False)
+    cols = [
+        F.array_min(F.transform(F.col("harr"), lambda b: perm_hash(b, p))).alias(f"mh_{p}")
+        for p in range(N_PERMS)
+    ]
+    return sh.select("id", *cols)
 
 
 def minhash_signatures_sql(table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> str:
@@ -242,22 +280,25 @@ def minhash_signatures_sql(table: str, text_col: str = "text", id_col: str = "do
 
 
 def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
-    """(id, band, bucket): portable hash of each band's signature slice."""
-    out = []
+    """(id, band, bucket): portable hash of each band's signature slice.
+
+    One explode over a per-row array of (band, bucket) structs instead
+    of a B-way plan-level union (r6): Catalyst does not deduplicate
+    common subplans, so the union form planned and executed the whole
+    signature pipeline once per band."""
+    entries = []
     for band in range(N_BANDS):
         cols = [f"mh_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        out.append(
-            sigs.select(
-                "id",
+        entries.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 portable_hash64(key, salt=f"band{band}").alias("bucket"),
             )
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    return sigs.select("id", F.explode(F.array(*entries)).alias("__bb")).select(
+        "id", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    )
 
 
 def minhash_band_buckets_sql(sigs_sql: str) -> str:
@@ -327,19 +368,24 @@ SIMHASH_BITS = 32
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, simhash): 32-bit SimHash over shingle hashes.
 
-    Implemented as 32 conditional sums in ONE groupBy — zero row
-    blowup; the per-bit majority vote is a map-side-combinable agg.
-    Ties (sum == 0) set the bit (>= 0), fixed for parity."""
-    sh = doc_shingles(docs, text_col, id_col, n).withColumn(
-        "h", portable_hash64(F.col("shingle"), salt="simhash")
-    )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    ZERO shuffle (r6): the per-bit ±1 sums are commutative reductions
+    over a doc's distinct shingles, computed row-side as array
+    aggregates over the per-doc hash array — the old explode +
+    groupBy(id) exchange shuffled rows to recompute per-row values.
+    Distinctness (multiplicity-sensitive sums) is preserved via the
+    array_distinct inside doc_shingle_hashes. Ties (sum == 0) set the
+    bit (>= 0), fixed for parity."""
+    sh = doc_shingle_hashes(docs, text_col, id_col, n, salt="simhash", distinct=True)
+    bit_sums = [
+        F.aggregate(
+            F.col("harr"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    per_bit = sh.groupBy("id").agg(*aggs)
+    per_bit = sh.select("id", *bit_sums)
     acc = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
         acc = acc + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
@@ -377,16 +423,23 @@ def simhash_neardup_pairs(
     sh = simhash(docs, text_col, id_col).localCheckpoint()
     n_chunks = 4
     bits_per = SIMHASH_BITS // n_chunks
-    blocks = None
-    for c in range(n_chunks):
-        mask = ((1 << bits_per) - 1) << (c * bits_per)
-        piece = sh.select(
-            "id",
-            "simhash",
+    # one explode instead of an n_chunks-way plan-level union (r6):
+    # the union form planned the (checkpointed, but still per-branch
+    # scanned) signature table once per chunk
+    chunk_entries = [
+        F.struct(
             F.lit(c).alias("chunk"),
-            F.col("simhash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
+            F.col("simhash")
+            .bitwiseAND(F.lit(((1 << bits_per) - 1) << (c * bits_per)))
+            .alias("chunk_val"),
         )
-        blocks = piece if blocks is None else blocks.unionByName(piece)
+        for c in range(n_chunks)
+    ]
+    blocks = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_entries)).alias("__c")
+    ).select(
+        "id", "simhash", F.col("__c.chunk").alias("chunk"), F.col("__c.chunk_val").alias("chunk_val")
+    )
     a = blocks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "chunk", "chunk_val")
     b = blocks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "chunk", "chunk_val")
     cand = (

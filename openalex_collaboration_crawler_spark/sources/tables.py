@@ -23,8 +23,23 @@ TABLES = (
 )
 
 
+# Catalog-style schema cache (r6): `spark.read.parquet` pays a footer/
+# schema-inference round trip (~0.1-0.6 s) on EVERY call, which a real
+# warehouse pays once at catalog registration. Keyed per Spark
+# application so test suites that cycle sessions don't leak stale
+# plans. This caches only the lazy DataFrame definition (schema + file
+# listing) — every execution still scans the parquet data; results are
+# never memoized.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
