@@ -295,6 +295,25 @@ class CrawlEngine:
 
     _COALESCE_KEY = "spark.sql.adaptive.coalescePartitions.enabled"
     _ADAPTIVE_KEY = "spark.sql.adaptive.enabled"
+    _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+    def _tune_shuffle_width(self, est: int | None) -> None:
+        """Scale-adaptive shuffle width for the loop's per-batch jobs
+        (guide §2: size partitions to the data, not the core count —
+        AQE coalescing would do this, but AQE is off in the loop).
+        The committed pending counter bounds every per-batch shuffle
+        (links explode re-aggregates to ≤ discovered ≈ O(pending)),
+        so width = clamp(est / batch_rows_per_task, 4, parallelism):
+        a bench-scale batch shuffles in a handful of tasks (and writes
+        that many state files) instead of a fixed 32, while big crawls
+        keep full width. Partitioning never affects results (ranks and
+        aggregates are pure functions of row values — the r5 parity
+        suite runs at several widths)."""
+        if est is None or os.environ.get("SPARK_GRAFT_CRAWL_WIDTH", "1") == "0":
+            return
+        par = self.spark.sparkContext.defaultParallelism
+        width = min(par, max(4, est // self.batch_rows_per_task))
+        self.spark.conf.set(self._SHUFFLE_KEY, str(width))
 
     def _enter_crawl_conf(self) -> None:
         if self._saved_conf is not None:
@@ -308,6 +327,8 @@ class CrawlEngine:
         for k, v in want.items():
             saved[k] = self.spark.conf.get(k, "true")
             self.spark.conf.set(k, v)
+        # _tune_shuffle_width adjusts this per batch; restore on exit
+        saved[self._SHUFFLE_KEY] = self.spark.conf.get(self._SHUFFLE_KEY)
         self._saved_conf = saved
 
     def _exit_crawl_conf(self) -> None:
@@ -716,6 +737,11 @@ class CrawlEngine:
 
         _debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
         _t0 = _time.time()
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if _debug:
+                _marks.append((label, _time.time()))
 
         self._enter_crawl_conf()
         if self._overlap is not None:
@@ -756,6 +782,7 @@ class CrawlEngine:
         #    fan-out (concurrent jobs racing on an unmaterialized cache
         #    re-execute the subtree below the cache point — ~3× waste).
         est = int(pending_prev) if pending_prev is not None else None
+        self._tune_shuffle_width(est)
         batch = select_batch(
             pending,
             self.politeness,
@@ -793,6 +820,7 @@ class CrawlEngine:
             if width > 1:
                 batch = batch.repartition(width, "url_hash")
         batch = batch.persist()
+        _mark("select_build")
 
         # fetch + decode + parse. The batch's url-hash SET is broadcast
         # (8 bytes/URL) into a semi-join that prefilters the corpus
@@ -856,7 +884,9 @@ class CrawlEngine:
         def j_parse_write():
             results.write.mode("overwrite").parquet(results_path)
 
+        _mark("parse_build")
         timed(j_parse_write)()
+        _mark("parse_job")
         m_parse = obs.get
         # the previous batch's deferred seen/bloom writes ran BEHIND the
         # parse job above; the dedup phase below reads them — flush now
@@ -1041,7 +1071,9 @@ class CrawlEngine:
         # hit a materialized cache instead of racing to re-execute the
         # dedup subtree (~3× waste, measured). Per-partition lineage is
         # merge-on-read (metrics_table), not a per-batch write.
+        _mark("dedup_build")
         timed(j_pending)()
+        _mark("pending_job")
         m_dedup = obs_dedup.get
         n_discovered = int(m_dedup["nd"])
         n_new = int(m_dedup["nn"] or 0)
@@ -1088,8 +1120,15 @@ class CrawlEngine:
         if not (self.overlap_state_writes and defer_state) or metrics["done"]:
             self._flush_overlap()
         if _debug:
+            _mark("tail")
+            spans = []
+            prev_t = _t0
+            for label, t in _marks:
+                spans.append(f"{label}={t - prev_t:.2f}")
+                prev_t = t
             print(
-                f"[batch {batch_id}] fetched={n_fetched} wall={_time.time() - _t0:.1f}s",
+                f"[batch {batch_id}] fetched={n_fetched} wall={_time.time() - _t0:.1f}s "
+                + " ".join(spans),
                 flush=True,
             )
         return metrics
