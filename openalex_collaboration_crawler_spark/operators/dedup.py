@@ -324,20 +324,40 @@ def minhash_candidate_pairs(
 
     Buckets larger than ``max_bucket`` are dropped (boilerplate
     explosion guard — at 10^10 docs a single mega-bucket would emit
-    O(n²) pairs and dominate the job)."""
-    # pinned: the bucket table feeds the size guard AND both join
-    # sides — unpinned, Catalyst re-expands the whole shingle+minhash
-    # pipeline three times (common subplans are not deduplicated)
+    O(n²) pairs and dominate the job).
+
+    Shape (r6): count buckets once, semi-join the survivors, then
+    collect each kept bucket's ids and generate its pairs ARRAY-SIDE
+    (same nested-Generate trick as pairwise_edges). The former
+    self-join form planned the `sizes` aggregation twice (one per join
+    side — Catalyst does not dedupe common subplans) and built three
+    broadcasts; this form aggregates once and joins once. Memory stays
+    provably bounded: collect_list runs AFTER the ≤ max_bucket
+    semi-join, so no list exceeds max_bucket ids — the count-first
+    design exists precisely so a 10^8-doc boilerplate bucket is
+    dropped without ever being materialized."""
+    # pinned: the bucket table feeds the size guard and the pair join —
+    # unpinned, Catalyst re-expands the whole shingle+minhash pipeline
+    # per consumer
     bk = minhash_band_buckets(minhash_signatures(docs, text_col, id_col, n)).localCheckpoint()
-    # bucket-size guard via semi-join (a window would shuffle the same key anyway)
-    sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    bk2 = bk.join(sizes.where(F.col("bsz") <= max_bucket), ["band", "bucket"], "left_semi")
-    a = bk2.select(F.col("id").alias("a"), "band", "bucket")
-    b = bk2.select(F.col("id").alias("b"), "band", "bucket")
+    kept = (
+        bk.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket)
+        .select("band", "bucket")
+    )
+    grouped = (
+        bk.join(kept, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("__ids"))
+    )
+    pairs = F.expr(
+        "flatten(transform(__ids, x -> "
+        "transform(filter(__ids, y -> x < y), y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
         .distinct()
     )
 
