@@ -591,7 +591,7 @@ class CrawlEngine:
 
     # bump when the prepared-table schema/derivation changes: a marker
     # with a different version is stale and forces a rebuild
-    _PREP_VERSION = 2
+    _PREP_VERSION = 3  # v3: ~128 MB-target file sizing on the prepared table
 
     def _pages_fingerprint(self) -> dict:
         """Content fingerprint of the source page table: data-file
@@ -673,15 +673,32 @@ class CrawlEngine:
                 "lang",
             )
             w = Window.partitionBy("canonical_url").orderBy("warc_ts", "html")
-            (
+            prepared = (
                 keyed.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
                 .drop("__rn", "warc_ts")
                 .withColumn("url_hash", portable_hash64(F.col("canonical_url")))
                 .withColumn("text_md5", F.md5(F.col("text_golden").cast("binary")))
-                .write.mode("overwrite")
-                .parquet(tmp)
             )
+            # Output file sizing (guide §6): the write otherwise lands at
+            # the session's shuffle width (32 tiny files at bench scale —
+            # AQE is off inside the loop, where the first build usually
+            # happens), and EVERY batch's semi-join re-scans this table,
+            # paying per-file open/listing each time. Target ~128 MB
+            # files from the source's known byte size (the fingerprint
+            # already carries it); parallelism of the scan at real scale
+            # comes from maxPartitionBytes splits, not file count.
+            src_bytes = sum(
+                os.path.getsize(os.path.join(r, n))
+                for r, _, ns in os.walk(self.pages_path)
+                for n in ns
+                if not n.startswith(("_", "."))
+            )
+            n_files = min(
+                self.spark.sparkContext.defaultParallelism,
+                max(1, src_bytes // (128 << 20) + 1),
+            )
+            prepared.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
             with open(os.path.join(tmp, "_prep_marker.json"), "w") as f:
                 json.dump(fp, f)
             # a half-published dir at the versioned path can only be a
