@@ -11,14 +11,36 @@ from collections import defaultdict
 
 
 def _iter_lines(path):
-    """Accept a flat event-log file OR a directory (Spark 4 rolling
-    layout: eventlog_v2_<appid>/events_*); uncompressed JSON only."""
+    """Accept a flat event-log file OR a directory; uncompressed JSON
+    only. Directory handling (r5 ADVICE fix): an event-log DIR can
+    hold logs from MANY applications (crawl_probe never clears it), and
+    concatenating them collides stage/job ids across apps and silently
+    corrupts the census — so when ``path`` contains several app logs
+    (flat ``local-*``/``app-*`` files or ``eventlog_v2_*`` rolling
+    dirs), only the NEWEST application's log is read. A single app's
+    rolling dir (``events_*`` parts inside) is still read whole."""
     import os
 
     if os.path.isdir(path):
+        entries = [
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if not n.startswith("appstatus_") and not n.endswith((".zstd", ".crc"))
+        ]
+        apps = [
+            e
+            for e in entries
+            if os.path.basename(e).startswith("eventlog_v2_")
+            or (os.path.isfile(e) and not os.path.basename(e).startswith("events_"))
+        ]
+        if apps:
+            # several application logs → newest app only
+            newest = max(apps, key=os.path.getmtime)
+            yield from _iter_lines(newest)
+            return
         for root, _, names in os.walk(path):
             for f in sorted(names):
-                if f.startswith("appstatus_") or f.endswith(".zstd"):
+                if f.startswith("appstatus_") or f.endswith((".zstd", ".crc")):
                     continue
                 yield from open(os.path.join(root, f))
     else:

@@ -35,11 +35,14 @@ def task_skew(evlog_dir: str, windows: dict[str, tuple[float, float]]) -> dict:
 
     # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_<appid>/
     # with events_* part files inside); walk instead of listdir.
+    # same skip filter as analyze_eventlog._iter_lines: a leftover
+    # .zstd (compressed) log would raise UnicodeDecodeError below,
+    # crashing AFTER the expensive benchmark already ran (r5 ADVICE)
     files = [
         os.path.join(root, f)
         for root, _, names in os.walk(evlog_dir)
         for f in names
-        if not f.startswith("appstatus_")
+        if not f.startswith("appstatus_") and not f.endswith(".zstd")
     ]
     stage_tasks: dict[int, list[tuple[int, int]]] = {}
     for path in files:
