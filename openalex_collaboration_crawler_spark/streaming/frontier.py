@@ -104,6 +104,28 @@ RESULTS_SCHEMA = (
 )
 
 
+def _ref_lit_int(v: int):
+    """Integer literal carried as a codegen *reference* instead of an
+    inlined source constant — evaluates to exactly ``v``.
+
+    A primitive ``F.lit(v)`` is inlined into the generated Java source,
+    so any stage whose plan embeds a per-batch id produces a brand-new
+    source string every batch → a fresh Janino compile (~40-70 ms,
+    driver-blocking) plus cold-JIT first executions, every batch of
+    every crawl (measured via CodegenMetrics: 4-6 recompiles per warm
+    batch, ~85 per cold crawl). A single-element ARRAY literal is
+    non-primitive, so codegen emits it via the ``references`` array —
+    the source is identical for every value — and indexing it with
+    ``1 + 0·rand(42)`` (non-foldable because rand is flagged
+    non-deterministic; the seed is pinned so ITS source is stable too)
+    stops ConstantFolding from collapsing the whole thing back into an
+    inlined primitive. ``shuffle()`` would do the same but draws a
+    random per-analysis seed that gets inlined, defeating the purpose.
+    Verified: new values trigger 0 new stage compiles vs 2 for
+    ``F.lit`` (tests/test_crawl_parity.py::test_ref_lit_int)."""
+    return F.element_at(F.lit([v]), (F.rand(42) * 0 + 1).cast("int"))
+
+
 def decode_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched gzip decode + JSON parse + extraction.
 
@@ -870,7 +892,7 @@ class CrawlEngine:
             F.size("links").alias("n_links"),
             "parse_ok",
             "text_match",
-            F.lit(batch_id).alias("batch_id"),
+            _ref_lit_int(batch_id).cast("int").alias("batch_id"),
         ).observe(
             obs,
             F.count(F.lit(1)).alias("fetched"),
@@ -1026,7 +1048,7 @@ class CrawlEngine:
             F.col("host"),
             F.col("depth"),
             F.col("priority"),
-            F.lit(batch_id).cast("int").alias("batch_enqueued"),
+            _ref_lit_int(batch_id).cast("int").alias("batch_enqueued"),
         ]
         # j_seen/j_bloom read plain `marked` (no CollectMetrics in their
         # plans), so the observation fires exactly once — in j_pending.

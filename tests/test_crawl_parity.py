@@ -376,3 +376,44 @@ def test_metrics_table_merge_on_read(spark, world, engine_run):
     got = {r["batch_id"]: r["sum(fetched)"] for r in mt}
     want = {m["batch"]: m["fetched"] for m in metrics if m.get("fetched")}
     assert got == want
+
+
+def test_ref_lit_int(spark):
+    """_ref_lit_int: exact value semantics AND codegen-source stability.
+
+    The helper exists so per-batch ids don't force a fresh Janino
+    compile per batch (frontier._ref_lit_int docstring): a new VALUE
+    through the same plan shape must trigger ZERO new stage compiles,
+    while a plain F.lit control shows the counter is live."""
+    from pyspark.sql import functions as F
+
+    from openalex_collaboration_crawler_spark.streaming.frontier import _ref_lit_int
+
+    # exact value, row-invariant
+    vals = (
+        spark.range(5)
+        .select(_ref_lit_int(37).cast("int").alias("b"))
+        .collect()
+    )
+    assert [r.b for r in vals] == [37] * 5
+
+    cm = spark._jvm.org.apache.spark.metrics.source.CodegenMetrics
+
+    def run(col):
+        spark.range(3).select(
+            (F.col("id") + 1).alias("id2"), col.cast("int").alias("b")
+        ).write.format("noop").mode("overwrite").save()
+
+    def compiles():
+        return cm.METRIC_COMPILATION_TIME().getCount()
+
+    run(_ref_lit_int(100))  # warm the shape (pays its one compile)
+    run(F.lit(100))
+    c0 = compiles()
+    run(_ref_lit_int(101))
+    run(_ref_lit_int(102))
+    c1 = compiles()
+    assert c1 - c0 == 0, "new _ref_lit_int values must reuse the compiled stage"
+    run(F.lit(101))
+    c2 = compiles()
+    assert c2 - c1 > 0, "control: a new inlined literal must recompile"
