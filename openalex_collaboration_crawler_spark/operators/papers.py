@@ -103,22 +103,41 @@ def keep_papers(
     Rows are keyed on the work id (``w.id``, unique in the OpenAlex
     data model) — NOT a synthetic ``monotonically_increasing_id``,
     whose values depend on partition layout and are not stable across
-    the two plan branches under AQE re-planning / task retries."""
-    base = candidates.select(F.col("w.id").alias("__wid"), "raw", "w")
-    au = base.select("__wid", F.explode("w.authorships").alias("a"))
+    the two plan branches under AQE re-planning / task retries.
+
+    Single-pass shape (r6): ``raw`` rides the authorship explode and
+    the kept line is recovered with ``groupBy(__wid).first(raw)``
+    instead of a ``base ⋉ hits`` self-reference — Catalyst does not
+    share common subplans, so the old two-branch semi-join executed
+    the whole scan→prefilter→``parse_works`` subtree TWICE per run
+    (plan audit: every upstream table scanned 2×). One corpus parse
+    vs two far outweighs the added shuffle of the kept lines (already
+    the operator's output, × the per-work author-hit factor; the
+    broadcast keep-list join keeps the explode un-shuffled, guide
+    §3.3). Exactly equivalent under w.id uniqueness — every row of a
+    ``__wid`` group carries the identical ``raw``, so ``first`` is
+    value-deterministic, and uniqueness is already load-bearing for
+    this operator's one-row-per-kept-work contract (see above)."""
+    au = candidates.select(
+        F.col("w.id").alias("__wid"), "raw", F.explode("w.authorships").alias("a")
+    )
     # reference builds ",US,IT" then substring-searches the code
     aff_str = F.when(
         F.size(F.coalesce(F.col("a.countries"), F.array().cast("array<string>"))) > 0,
         F.concat(F.lit(","), F.array_join("a.countries", ",")),
     ).otherwise(F.lit(""))
-    hits = (
+    return (
         au.where(aff_str.contains(country))
-        .select("__wid", F.lower(F.coalesce(F.col("a.author.display_name"), F.lit(""))).alias("name"))
+        .select(
+            "__wid",
+            "raw",
+            F.lower(F.coalesce(F.col("a.author.display_name"), F.lit(""))).alias("name"),
+        )
         .join(F.broadcast(keep_names.select(F.lower("name").alias("name"))), "name", "left_semi")
-        .select("__wid")
-        .distinct()
+        .groupBy("__wid")
+        .agg(F.first("raw").alias("raw"))
+        .select("raw")
     )
-    return base.join(hits, "__wid", "left_semi").select("raw")
 
 
 def topic_distributions(candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
